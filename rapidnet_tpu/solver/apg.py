@@ -1,0 +1,97 @@
+"""Dual accelerated proximal gradient (APG) — the default online solver.
+
+Reference: ``SmpcController::algorithmApg`` (src/SmpcController.cu:
+1500-1525) with the Nesterov theta sequence and extrapolation of
+src/SmpcController.cu:535-557.  The reference launches ~hundreds of
+cuBLAS calls + kernels per iteration with two host syncs (prox norm,
+infeasibility); here the *entire* iteration loop is one ``lax.scan``
+inside one jitted XLA program — zero host round-trips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from rapidnet_tpu.solver import solve_step as ss
+
+
+def make_apg(*, prefix_stages: tuple, inv_step: float, step_size: float,
+             penalty_state: float, penalty_safety: float, xs_upper: float,
+             max_iterations: int, axis_name: str | None = None):
+    """Build the jittable APG solve function.
+
+    Returns fn(fa, step) -> dict with final x, u, v, duals and the
+    per-iteration primal-infeasibility trace.
+
+    ``fa`` is the factor-array dict (fan layout), ``step`` the per-step
+    dict with beta/uhat/e/x0/prev_u/prev_uhat.
+    """
+
+    def one_iteration(fa, step, carry):
+        y, y_prev, th0, th1 = (carry["y"], carry["y_prev"],
+                               carry["th0"], carry["th1"])
+        lam = th1 * (1.0 / th0 - 1.0)
+        # w = (1+lam) y - lam y_prev   (dual extrapolation,
+        # src/SmpcController.cu:544-552)
+        w_xi = (1.0 + lam) * y["xi"] - lam * y_prev["xi"]
+        w_psi = (1.0 + lam) * y["psi"] - lam * y_prev["psi"]
+
+        sol = ss.solve_step(
+            fa, w_xi, w_psi, step["beta"], step["uhat"], step["e"],
+            step["x0"], step["prev_u"], step["prev_uhat"],
+            prefix_stages=prefix_stages, axis_name=axis_name)
+
+        dual_xi, dual_psi, value_g = ss.prox_g(
+            fa, sol["prim_xi"], sol["prim_psi"], w_xi, w_psi,
+            inv_step=inv_step, penalty_state=penalty_state,
+            penalty_safety=penalty_safety, xs_upper=xs_upper,
+            axis_name=axis_name)
+
+        res_xi = sol["prim_xi"] - dual_xi
+        res_psi = sol["prim_psi"] - dual_psi
+
+        y_new = {"xi": w_xi + step_size * res_xi,
+                 "psi": w_psi + step_size * res_psi}
+        th0_new = th1
+        th1_new = 0.5 * (jnp.sqrt(th1 ** 4 + 4.0 * th1 ** 2) - th1 ** 2)
+        infeas = ss.signed_max_abs(res_xi, res_psi, axis_name)
+        new_carry = {"y": y_new, "y_prev": y, "th0": th0_new,
+                     "th1": th1_new, "x": sol["x"], "u": sol["u"],
+                     "v": sol["v"]}
+        return new_carry, infeas
+
+    def run(fa, step):
+        shp = step["beta"].shape[:2]   # (N, ns)
+        nxd = fa["d1"].shape[-1]
+        nu = fa["g"].shape[-1]
+        zeros_xi = jnp.zeros(shp + (2 * nxd,), jnp.float32)
+        zeros_psi = jnp.zeros(shp + (nu,), jnp.float32)
+        carry = {
+            "y": {"xi": zeros_xi, "psi": zeros_psi},
+            "y_prev": {"xi": zeros_xi, "psi": zeros_psi},
+            "th0": jnp.float32(1.0), "th1": jnp.float32(1.0),
+            "x": jnp.zeros(shp + (nxd,), jnp.float32),
+            "u": jnp.zeros(shp + (nu,), jnp.float32),
+            "v": jnp.zeros(shp + (fa["invWbar"].shape[0],), jnp.float32),
+        }
+
+        def body(c, _):
+            return one_iteration(fa, step, c)
+
+        carry, infeas = lax.scan(body, carry, None, length=max_iterations)
+        # final control = stage-0 u of the last solve, projected onto the
+        # (preconditioned) node-0 control bounds — reference parity with
+        # src/SmpcController.cu:1647-1649.
+        u0 = jnp.clip(carry["u"][0, 0], fa["umin"][0, 0], fa["umax"][0, 0])
+        return {
+            "control": u0,
+            "x": carry["x"], "u": carry["u"], "v": carry["v"],
+            "y": carry["y"],
+            "primal_infeasibility": infeas,
+        }
+
+    return run

@@ -1,0 +1,236 @@
+"""Closed-loop SMPC controller (receding horizon driver).
+
+Reference counterpart: ``SmpcController`` (src/SmpcController.cu) plus
+the closed-loop loop of src/main.cu:34-68.  API parity:
+
+  controller = SmpcController(config_path)         # or from objects
+  controller.initialise()                          # factor step
+  u = controller.control_action(sim_time)          # one solve
+  controller.move_forward_in_time()                # built-in simulator
+  controller.economic_kpi(T), ...                  # KPI getters
+
+Differences from the reference (intentional):
+  * the whole solve (500 APG iterations) is ONE jitted XLA program with
+    no host synchronisation (the reference syncs per iteration for the
+    prox norms and infeasibility, src/SmpcController.cu:792,810,1487);
+  * the built-in simulator applies the demand disturbance e to the state
+    update (the reference accidentally adds e to a dead buffer,
+    src/SmpcController.cu:1695 — a bug we do not replicate);
+  * closed-loop state lives in a plain dataclass with JSON import/export
+    instead of rewriting the config file.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rapidnet_tpu.engine.engine import XS_UPPER, Engine, StepData
+from rapidnet_tpu.model.config import (ALGORITHM_APG, ALGORITHM_FBE,
+                                       ALGORITHM_NAMA, SmpcConfig)
+from rapidnet_tpu.model.forecaster import Forecaster, JsonForecaster
+from rapidnet_tpu.model.network import DwnNetwork
+from rapidnet_tpu.model.scenario_tree import ScenarioTree
+from rapidnet_tpu.solver import apg as apg_mod
+
+
+def _factor_arrays(engine: Engine) -> dict:
+    """FactorData -> dict of device arrays for the jitted solvers."""
+    fd = engine.factor_step()
+    fa = {
+        "L": jnp.asarray(fd.L), "B": jnp.asarray(fd.B),
+        "Bb": jnp.asarray(fd.Bb), "invWbar": jnp.asarray(fd.invWbar),
+        "d1": jnp.asarray(fd.d1), "d2": jnp.asarray(fd.d2),
+        "g": jnp.asarray(fd.g),
+        "nhp": jnp.asarray(fd.neg_half_over_prob),
+        "prob": jnp.asarray(fd.prob),
+        "rep": jnp.asarray(fd.rep),
+        "xmin": jnp.asarray(fd.xmin), "xmax": jnp.asarray(fd.xmax),
+        "xs": jnp.asarray(fd.xs),
+        "umin": jnp.asarray(fd.umin), "umax": jnp.asarray(fd.umax),
+        "prefix_C": {s: jnp.asarray(C) for s, C in fd.prefix_C.items()},
+        "Wv": jnp.asarray(engine.Wv),
+        "alpha1": jnp.asarray(engine.network.alpha1),
+        "W": jnp.asarray(engine.config.cost_w),
+    }
+    return fa
+
+
+def _step_arrays(step: StepData) -> dict:
+    return {
+        "beta": jnp.asarray(step.beta),
+        "uhat": jnp.asarray(step.uhat),
+        "e": jnp.asarray(step.e),
+        "alpha_price": jnp.asarray(step.alpha_price),
+        "x0": jnp.asarray(step.x0),
+        "prev_u": jnp.asarray(step.prev_u),
+        "prev_uhat": jnp.asarray(step.prev_uhat),
+    }
+
+
+class SmpcController:
+    def __init__(self, config: SmpcConfig | str,
+                 network: Optional[DwnNetwork] = None,
+                 tree: Optional[ScenarioTree] = None,
+                 forecaster: Optional[Forecaster] = None):
+        if isinstance(config, str):
+            config = SmpcConfig.from_json(config)
+        self.config = config
+        self.network = network or DwnNetwork.from_json(
+            config.path_to_network)
+        self.tree = tree or ScenarioTree.from_json(
+            config.path_to_scenario_tree)
+        self.forecaster = forecaster or JsonForecaster(
+            config.path_to_forecaster)
+        self.engine = Engine(self.network, self.tree, config)
+
+        self.simulator_flag = True
+        self._fa = None
+        self._solver = None
+        self._last = None       # last solve outputs (host copies on demand)
+        self._last_control = None
+        self.solve_times_ms: list[float] = []
+
+        # KPI accumulators (reference: src/SmpcController.cu:1778-1818)
+        self.economic_kpi_acc = 0.0
+        self.smooth_kpi_acc = 0.0
+        self.safe_kpi_acc = 0.0
+        self.network_kpi_acc = 0.0
+
+    # ------------------------------------------------------------------
+    def initialise(self) -> None:
+        """Factor step + solver compilation (reference:
+        initialiseSmpcController, src/SmpcController.cu:476-487)."""
+        self._fa = _factor_arrays(self.engine)
+        cfg = self.config
+        if cfg.algorithm == ALGORITHM_APG:
+            run = apg_mod.make_apg(
+                prefix_stages=self.engine.factor_step().prefix_stages,
+                inv_step=float(1.0 / cfg.step_size),
+                step_size=float(cfg.step_size),
+                penalty_state=float(cfg.penalty_state),
+                penalty_safety=float(cfg.penalty_safety),
+                xs_upper=float(XS_UPPER),
+                max_iterations=int(cfg.max_iterations))
+        elif cfg.algorithm in (ALGORITHM_FBE, ALGORITHM_NAMA):
+            from rapidnet_tpu.solver import quasi_newton
+            run = quasi_newton.make_solver(
+                algorithm=cfg.algorithm,
+                prefix_stages=self.engine.factor_step().prefix_stages,
+                inv_step=float(1.0 / cfg.step_size),
+                step_size=float(cfg.step_size),
+                penalty_state=float(cfg.penalty_state),
+                penalty_safety=float(cfg.penalty_safety),
+                xs_upper=float(XS_UPPER),
+                max_iterations=int(cfg.max_iterations),
+                lbfgs_buffer_size=int(cfg.lbfgs_buffer_size))
+        else:
+            raise ValueError(f"unknown algorithm '{cfg.algorithm}'")
+        self._solver = jax.jit(run)
+
+    # ------------------------------------------------------------------
+    def prepare_step(self, sim_time: int) -> dict:
+        """Forecast + disturbance elimination for one control step."""
+        ok_d = self.forecaster.predict_demand(sim_time)
+        ok_p = self.forecaster.predict_prices(sim_time)
+        if not (ok_d and ok_p):
+            raise IndexError(f"forecaster exhausted at t={sim_time}")
+        step = self.engine.prepare_step(
+            self.forecaster.nominal_demand, self.forecaster.nominal_prices,
+            self.config.current_x, self.config.prev_u,
+            self.config.prev_demand)
+        return _step_arrays(step)
+
+    def control_action(self, sim_time: int) -> np.ndarray:
+        """Run one receding-horizon solve; returns the control u0 (nu,)."""
+        if self._solver is None:
+            self.initialise()
+        step = self.prepare_step(sim_time)
+        t0 = time.perf_counter()
+        out = self._solver(self._fa, step)
+        control = np.asarray(jax.block_until_ready(out["control"]))
+        self.solve_times_ms.append((time.perf_counter() - t0) * 1e3)
+        self._last = out
+        self._last_control = control
+        return control
+
+    # ------------------------------------------------------------------
+    def move_forward_in_time(self) -> np.ndarray:
+        """Built-in simulator: x+ = x + B u + Gd d (mass balance).
+
+        Reference: moveForewardInTime (src/SmpcController.cu:1679-1717)
+        minus its dead-buffer e bug; KPI update identical.
+        """
+        u = self._last_control
+        if u is None:
+            raise RuntimeError("call control_action first")
+        d = self.forecaster.nominal_demand[0]          # realised demand
+        x = (self.config.current_x + self.network.matB @ u +
+             self.network.matGd @ d).astype(np.float32)
+        self._update_kpi(x, u)
+        self.config.set_current_state(x)
+        self.config.set_previous_control(u)
+        self.config.set_previous_demand(d)
+        return x
+
+    def _update_kpi(self, state: np.ndarray, control: np.ndarray) -> None:
+        net, cfg = self.network, self.config
+        prices = self.forecaster.nominal_prices[0]
+        eco = float(np.sum(cfg.weight_economical *
+                           (net.alpha1 + prices) * np.abs(control)))
+        du = cfg.prev_u - control
+        smooth = float(du @ du)
+        level = np.minimum(state - net.xsafe, 0.0)
+        safe = float(np.abs(level).sum())
+        netk = float(np.abs(state).sum())
+        self.economic_kpi_acc += eco
+        self.smooth_kpi_acc += smooth
+        self.safe_kpi_acc += safe
+        self.network_kpi_acc += netk
+
+    # KPI getters (reference: src/SmpcController.cu:1824-1859)
+    def economic_kpi(self, sim_time: int) -> float:
+        return self.economic_kpi_acc / 3600.0 / max(sim_time, 1)
+
+    def smooth_kpi(self, sim_time: int) -> float:
+        return self.smooth_kpi_acc / 3600.0 / max(sim_time, 1)
+
+    def safety_kpi(self, sim_time: int) -> float:
+        return self.safe_kpi_acc
+
+    def network_kpi(self, sim_time: int) -> float:
+        safe_norm = float(np.sum(self.network.xsafe))
+        if self.network_kpi_acc == 0:
+            return 0.0
+        return 100.0 * max(sim_time, 1) * safe_norm / self.network_kpi_acc
+
+    # ------------------------------------------------------------------
+    def closed_loop(self, steps: int, output_json: Optional[str] = None
+                    ) -> dict:
+        """Run a closed-loop simulation (reference main.cu:45-69)."""
+        log = {}
+        for t in range(steps):
+            u = self.control_action(t)
+            log[f"control{t}"] = u.tolist()
+            log[f"time{t}"] = [self.solve_times_ms[-1]]
+            self.move_forward_in_time()
+        log["economicKpi"] = self.economic_kpi(steps)
+        log["smoothKpi"] = self.smooth_kpi(steps)
+        log["safetyKpi"] = self.safety_kpi(steps)
+        log["networkKpi"] = self.network_kpi(steps)
+        if output_json:
+            with open(output_json, "w") as f:
+                json.dump(log, f, indent=1)
+        return log
+
+    # diagnostics
+    @property
+    def primal_infeasibility(self) -> np.ndarray:
+        if self._last is None:
+            return np.zeros(0, np.float32)
+        return np.asarray(self._last["primal_infeasibility"])

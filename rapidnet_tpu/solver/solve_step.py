@@ -1,0 +1,234 @@
+"""The dual-gradient oracle: one jitted backward/forward tree sweep.
+
+Reference counterpart: ``SmpcController::solveStep``
+(src/SmpcController.cu:563-755) — a stage loop of ~10 batched cuBLAS
+GEMMs per stage plus child-sum / ancestor-broadcast kernels
+(src/Utilities.cu:142-201), and ``computeHessianOracalGlobalFbe``
+(src/SmpcController.cu:884-1055) which is the same recursion with the
+affine terms removed.
+
+TPU design (fan layout, see model/scenario_tree.py):
+
+*  backward sweep = ``lax.scan`` (reverse) over the non-branching tail
+   where child->parent aggregation is slot-identity, plus an unrolled
+   prefix (<= final branching stage, typically 1-3 stages) where
+   aggregation is a dense one-hot matmul ``C_s @ q`` on the MXU;
+*  forward sweep = one uniform ``lax.scan``: in fan layout the ancestor
+   value lives at the *same slot*, so there are no gathers at all;
+*  per-stage math collapses to two shared-matrix matmuls
+   ``(ns,nx)@(nx,nv)`` and ``(ns,nu)@(nu,nv)`` (backward) and two
+   ``(ns,nv)@(nv,nu)``/``(ns,nu)@(nu,nx)`` (forward), with everything
+   else elementwise (VPU) — XLA fuses the elementwise chains.
+
+The whole sweep is shape-static; under `jit` the stage scan compiles to
+a single XLA while loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# Match the reference's true-f32 numerics (cuBLAS Sgemm); on TPU this
+# selects the 3-pass bf16 f32-accurate matmul instead of fast bf16.
+MM_PRECISION = lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=MM_PRECISION)
+
+
+def backward_sweep(fa: dict, w_xi: jnp.ndarray, w_psi: jnp.ndarray,
+                   beta: jnp.ndarray, *, prefix_stages: tuple,
+                   axis_name: str | None = None) -> jnp.ndarray:
+    """Backward substitution: dual gradient recursion over stages N-1..0.
+
+    Args:
+      fa: factor arrays (fan layout slices d1/d2/g/nhp + shared Bb/L/invWbar).
+      w_xi:  (N, ns, 2nx) dual xi input (accelerated dual).
+      w_psi: (N, ns, nu) dual psi input.
+      beta:  (N, ns, nv) linear cost term (zeros for the Hessian oracle).
+      prefix_stages: static descending tuple of stages whose child->parent
+        handoff needs aggregation (from ScenarioTree.prefix_agg).
+    Returns:
+      v: (N, ns, nv) candidate null-space controls per stage.
+    """
+    Bb, L, invWbar = fa["Bb"], fa["L"], fa["invWbar"]
+    nx = Bb.shape[1]
+
+    def stage_math(q, r, xs):
+        d1, d2, g, nhp, beta_s, xi, psi = xs
+        sigma = beta_s + r
+        t = d1 * xi[..., :nx] + d2 * xi[..., nx:] + q
+        inner = sigma + _mm(t, Bb.T) + _mm(g * psi, L)
+        v = nhp * _mm(inner, invWbar.T)
+        return t, inner, v
+
+    first_prefix = prefix_stages[0] + 1 if prefix_stages else 0
+
+    def tail_slice(a):
+        return a[first_prefix:]
+
+    def body(carry, xs):
+        q, r = carry
+        t, inner, v = stage_math(q, r, xs)
+        return (t, inner), v
+
+    ns = w_xi.shape[1]
+    nv = invWbar.shape[0]
+    q0 = jnp.zeros((ns, nx), w_xi.dtype)
+    r0 = jnp.zeros((ns, nv), w_xi.dtype)
+
+    tail_xs = tuple(tail_slice(a) for a in
+                    (fa["d1"], fa["d2"], fa["g"], fa["nhp"], beta,
+                     w_xi, w_psi))
+    (q, r), v_tail = lax.scan(body, (q0, r0), tail_xs, reverse=True)
+
+    # unrolled branching prefix with MXU aggregation matmuls
+    v_prefix = []
+    for s in range(first_prefix - 1, -1, -1):
+        xs = (fa["d1"][s], fa["d2"][s], fa["g"][s], fa["nhp"][s],
+              beta[s], w_xi[s], w_psi[s])
+        q, r, v_s = stage_math(q, r, xs)
+        v_prefix.append(v_s)
+        if s > 0 and s in prefix_stages:
+            C = fa["prefix_C"][s]
+            if axis_name is not None:
+                q = _mm(C, lax.all_gather(q, axis_name, tiled=True))
+                r = _mm(C, lax.all_gather(r, axis_name, tiled=True))
+            else:
+                q = _mm(C, q)
+                r = _mm(C, r)
+    if v_prefix:
+        v_prefix = jnp.stack(v_prefix[::-1])
+        v = jnp.concatenate([v_prefix, v_tail], axis=0)
+    else:
+        v = v_tail
+    return v
+
+
+def forward_sweep(fa: dict, v: jnp.ndarray, uhat: jnp.ndarray,
+                  e: jnp.ndarray, x0: jnp.ndarray, prev_u: jnp.ndarray,
+                  prev_uhat: jnp.ndarray):
+    """Forward substitution + primal H application.
+
+    u_s = uhat_s + L v_s + (u_{s-1} - uhat_{s-1});  x_s = x_{s-1} + e_s + B u_s
+    (reference src/SmpcController.cu:678-741; in fan layout the ancestor
+    terms live at the same slot so the scan body is gather-free).
+
+    Returns x (N,ns,nx), u (N,ns,nu), prim_xi (N,ns,2nx), prim_psi (N,ns,nu).
+    """
+    L, B = fa["L"], fa["B"]
+    ns = v.shape[1]
+
+    du0 = jnp.broadcast_to(prev_u - prev_uhat, (ns,) + prev_u.shape)
+    xc0 = jnp.broadcast_to(x0, (ns,) + x0.shape)
+
+    def body(carry, xs):
+        du, xc = carry
+        v_s, uhat_s, e_s, d1, d2, g = xs
+        u = uhat_s + _mm(v_s, L.T) + du
+        x = xc + e_s + _mm(u, B.T)
+        prim_xi = jnp.concatenate([d1 * x, d2 * x], axis=-1)
+        prim_psi = g * u
+        return (u - uhat_s, x), (x, u, prim_xi, prim_psi)
+
+    xs = (v, uhat, e, fa["d1"], fa["d2"], fa["g"])
+    _, (x, u, prim_xi, prim_psi) = lax.scan(body, (du0, xc0), xs)
+    return x, u, prim_xi, prim_psi
+
+
+def solve_step(fa: dict, w_xi, w_psi, beta, uhat, e, x0, prev_u, prev_uhat,
+               *, prefix_stages: tuple, axis_name: str | None = None):
+    """Full dual-gradient oracle (backward + forward + primal).
+
+    With beta/uhat/e/x0/prev_* zeroed this is exactly the Hessian oracle
+    of the FBE/NAMA algorithms (src/SmpcController.cu:884-1055).
+    """
+    v = backward_sweep(fa, w_xi, w_psi, beta,
+                       prefix_stages=prefix_stages, axis_name=axis_name)
+    x, u, prim_xi, prim_psi = forward_sweep(
+        fa, v, uhat, e, x0, prev_u, prev_uhat)
+    return {"v": v, "x": x, "u": u,
+            "prim_xi": prim_xi, "prim_psi": prim_psi}
+
+
+def _masked_sumsq(x, rep, axis_name):
+    """Sum of squares counting each tree node once (rep de-duplicates)."""
+    s = jnp.sum(rep[..., None] * x * x)
+    if axis_name is not None:
+        s = lax.psum(s, axis_name)
+    return s
+
+
+def prox_g(fa: dict, prim_xi, prim_psi, w_xi, w_psi, *, inv_step: float,
+           penalty_state: float, penalty_safety: float, xs_upper: float,
+           axis_name: str | None = None):
+    """Proximal operator of the constraint function g on the dual pair.
+
+    Reference: SmpcController::proximalFunG (src/SmpcController.cu:759-835):
+    box projections on state/control plus soft two-norm penalties on the
+    state-box and safety-level violations (a global-norm shrink step).
+
+    Returns dual_xi, dual_psi and the g-cost pieces used by the FBE value.
+    """
+    nx = fa["Bb"].shape[1]
+    rep = fa["rep"]
+    dual_xi = prim_xi + inv_step * w_xi
+    dual_psi = prim_psi + inv_step * w_psi
+
+    pre1 = dual_xi[..., :nx]
+    pre2 = dual_xi[..., nx:]
+    box1 = jnp.clip(pre1, fa["xmin"], fa["xmax"])
+    box2 = jnp.clip(pre2, fa["xs"], xs_upper)
+    diff1 = pre1 - box1
+    diff2 = pre2 - box2
+
+    dist1 = jnp.sqrt(_masked_sumsq(diff1, rep, axis_name))
+    thresh1 = inv_step * penalty_state
+    shrink1 = jnp.where(dist1 > thresh1, 1.0 - thresh1 /
+                        jnp.maximum(dist1, 1e-30), 0.0)
+    out1 = box1 + shrink1 * diff1
+
+    dist2 = jnp.sqrt(_masked_sumsq(diff2, rep, axis_name))
+    thresh2 = inv_step * penalty_safety
+    shrink2 = jnp.where(dist2 > thresh2, 1.0 - thresh2 /
+                        jnp.maximum(dist2, 1e-30), 0.0)
+    out2 = box2 + shrink2 * diff2
+
+    dual_xi = jnp.concatenate([out1, out2], axis=-1)
+    dual_psi = jnp.clip(dual_psi, fa["umin"], fa["umax"])
+
+    # g-cost pieces (used only by the FBE/NAMA value function,
+    # src/SmpcController.cu:798-825): penalty * distance-from-set of the
+    # post-prox point.
+    gd1 = jnp.sqrt(_masked_sumsq(out1 - jnp.clip(out1, fa["xmin"],
+                                                 fa["xmax"]), rep, axis_name))
+    gd2 = jnp.sqrt(_masked_sumsq(out2 - jnp.clip(out2, fa["xs"], xs_upper),
+                                 rep, axis_name))
+    value_g = (jnp.where(shrink1 > 0, penalty_state * gd1, 0.0) +
+               jnp.where(shrink2 > 0, penalty_safety * gd2, 0.0))
+    return dual_xi, dual_psi, value_g
+
+
+def signed_max_abs(res_xi, res_psi, axis_name: str | None = None):
+    """Primal infeasibility diagnostic.
+
+    Reference quirk preserved (src/SmpcController.cu:1480-1496): Isamax
+    picks the entry with max |value| but the *signed* value is returned,
+    and the max of the xi/psi representatives is taken.
+    """
+    fx = res_xi.reshape(-1)
+    fp = res_psi.reshape(-1)
+    vx = fx[jnp.argmax(jnp.abs(fx))]
+    vp = fp[jnp.argmax(jnp.abs(fp))]
+    m = jnp.maximum(vx, vp)
+    if axis_name is not None:
+        # take the value whose |.| is globally maximal, then signed max
+        allv = lax.all_gather(jnp.stack([vx, vp]), axis_name)
+        allv = allv.reshape(-1)
+        m = jnp.max(allv)
+    return m
