@@ -1,0 +1,123 @@
+"""Benchmark: SMPC solves/s per chip on the BASELINE.md ladder config.
+
+Problem: Barcelona-scale synthetic DWN (nx=63 tanks, nu=114 controls,
+nd=88 demands, ne=17 junctions), H=24, 556-node scenario tree (25
+scenarios), 500 APG iterations per solve — the reference's measurement
+unit is wall ms per controlAction at a fixed iteration budget
+(src/main.cu:55-59; BASELINE.md).
+
+The reference publishes no numbers, so vs_baseline is the speedup of
+this chip over the same XLA program on the host CPU (single process,
+all cores) — a reproducible self-baseline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPEATS = 7
+MAX_ITER = 500
+
+
+def build_problem():
+    from rapidnet_tpu.engine.engine import Engine
+    from rapidnet_tpu.model.config import synthetic_config
+    from rapidnet_tpu.model.forecaster import synthetic_forecaster
+    from rapidnet_tpu.model.network import synthetic_network
+    from rapidnet_tpu.model.scenario_tree import generate_tree
+    from rapidnet_tpu.solver.controller import _factor_arrays, _step_arrays
+
+    nx, nu, nd, ne = 63, 114, 88, 17
+    net = synthetic_network(nx=nx, nu=nu, nd=nd, ne=ne, seed=42)
+    tree = generate_tree(N=24, branching=[5, 5], nd=nd, nu=nu, seed=42)
+    fc = synthetic_forecaster(N=24, nd=nd, nu=nu, sim_horizon=4, seed=42)
+    cfg = synthetic_config(net, tree, max_iterations=MAX_ITER,
+                           step_size=1e-3)
+    eng = Engine(net, tree, cfg)
+    fc.predict_demand(0)
+    fc.predict_prices(0)
+    fa = _factor_arrays(eng)
+    step = _step_arrays(eng.prepare_step(
+        fc.nominal_demand, fc.nominal_prices, cfg.current_x, cfg.prev_u,
+        cfg.prev_demand))
+    return cfg, eng, fa, step, tree
+
+
+def measure(repeats=REPEATS):
+    import jax
+
+    from rapidnet_tpu.engine.engine import XS_UPPER
+    from rapidnet_tpu.solver import apg as apg_mod
+
+    cfg, eng, fa, step, tree = build_problem()
+    run = jax.jit(apg_mod.make_apg(
+        prefix_stages=eng.factor_step().prefix_stages,
+        inv_step=1.0 / cfg.step_size, step_size=cfg.step_size,
+        penalty_state=cfg.penalty_state, penalty_safety=cfg.penalty_safety,
+        xs_upper=float(XS_UPPER), max_iterations=MAX_ITER))
+    # warmup/compile
+    out = run(fa, step)
+    jax.block_until_ready(out["control"])
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = run(fa, step)
+        jax.block_until_ready(out["control"])
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times))
+    return {
+        "p50_s": p50,
+        "solves_per_s": 1.0 / p50,
+        "tree_nodes": int(tree.n_nodes),
+        "scenarios": int(tree.ns),
+        "backend": jax.default_backend(),
+    }
+
+
+def main():
+    if "--cpu-baseline" in sys.argv:
+        # child process: measure the CPU path and emit raw JSON
+        res = measure(repeats=3)
+        print(json.dumps(res))
+        return
+
+    res = measure()
+    print(f"[bench] backend={res['backend']} p50={res['p50_s']*1e3:.2f} ms "
+          f"({res['solves_per_s']:.2f} solves/s, "
+          f"{res['tree_nodes']}-node tree, {MAX_ITER} APG iters)",
+          file=sys.stderr)
+
+    vs_baseline = 1.0
+    if res["backend"] != "cpu":
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        try:
+            cp = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--cpu-baseline"],
+                capture_output=True, text=True, timeout=1800, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            cpu = json.loads(cp.stdout.strip().splitlines()[-1])
+            vs_baseline = cpu["p50_s"] / res["p50_s"]
+            print(f"[bench] cpu baseline p50={cpu['p50_s']*1e3:.2f} ms -> "
+                  f"speedup {vs_baseline:.2f}x", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            print(f"[bench] cpu baseline failed: {exc}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "smpc_solves_per_s_per_chip_H24_556node_500iter",
+        "value": round(res["solves_per_s"], 3),
+        "unit": "solves/s",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

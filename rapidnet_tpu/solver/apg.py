@@ -21,7 +21,8 @@ from rapidnet_tpu.solver import solve_step as ss
 
 def make_apg(*, prefix_stages: tuple, inv_step: float, step_size: float,
              penalty_state: float, penalty_safety: float, xs_upper: float,
-             max_iterations: int, axis_name: str | None = None):
+             max_iterations: int, axis_name: str | None = None,
+             project_control: bool = True):
     """Build the jittable APG solve function.
 
     Returns fn(fa, step) -> dict with final x, u, v, duals and the
@@ -85,8 +86,13 @@ def make_apg(*, prefix_stages: tuple, inv_step: float, step_size: float,
         carry, infeas = lax.scan(body, carry, None, length=max_iterations)
         # final control = stage-0 u of the last solve, projected onto the
         # (preconditioned) node-0 control bounds — reference parity with
-        # src/SmpcController.cu:1647-1649.
-        u0 = jnp.clip(carry["u"][0, 0], fa["umin"][0, 0], fa["umax"][0, 0])
+        # src/SmpcController.cu:1647-1649.  (Skipped in sharded mode where
+        # slot 0 lives on one device; the caller projects instead.)
+        if project_control:
+            u0 = jnp.clip(carry["u"][0, 0], fa["umin"][0, 0],
+                          fa["umax"][0, 0])
+        else:
+            u0 = carry["u"][0, 0]
         return {
             "control": u0,
             "x": carry["x"], "u": carry["u"], "v": carry["v"],

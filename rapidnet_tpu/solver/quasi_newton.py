@@ -1,0 +1,369 @@
+"""Global-FBE and NAMA quasi-Newton dual solvers (L-BFGS accelerated).
+
+Reference: ``algorithmGlobalFbe`` / ``algorithmNama``
+(src/SmpcController.cu:1529-1586) with
+
+* the FBE gradient  grad = -(Hz - t) + step * H(linmap(-(Hz - t)))
+  where linmap is the Hessian oracle — the same backward/forward tree
+  recursion as the solve step with the affine terms removed
+  (computeHessianOracalGlobalFbe, src/SmpcController.cu:884-1055);
+* an L-BFGS buffer over the dual pair (xi, psi) with the reference's
+  1-based rolling column scheme (updateLbfgsBuffer, :1103-1177) and
+  two-loop recursion (:1182-1232);
+* backtracking line searches that *cumulatively* apply shrinking tau
+  increments until the FBE value stops improving
+  (computeLineSearchLbfgsUpdate :1250-1320, AME variant :1326-1414).
+
+The reference syncs to the host for every norm/dot and runs the line
+search in host control flow; here the complete iteration — including
+both Hessian-oracle sweeps and the ``lax.while_loop`` line search — is
+one jitted XLA program.
+
+Faithfulness notes:
+  * the reference's rolling column update ``col = 1 + (col % size)``
+    writes one past its buffer when col == size (an out-of-bounds bug);
+    we allocate size+1 columns so the same indexing is well defined.
+    Column 0 stays zero with rho[0] = 0, so the two-loop recursion's
+    occasional visit to column 0 after wrap-around is a no-op, exactly
+    as the reference's zero-initialised memory behaves pre-overflow.
+  * the line search keeps the last (worsening) trial applied, as the
+    reference does — we replicate rather than "fix" this, since the
+    golden fixtures encode it.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from rapidnet_tpu.model.config import ALGORITHM_FBE, ALGORITHM_NAMA
+from rapidnet_tpu.solver import solve_step as ss
+
+LS_TOLERANCE = 1e-4
+LS_MAX_STEPS = 10
+
+
+def masked_dot(a, b, rep, axis_name=None):
+    """Dual-space dot counting each tree node once ((N,ns,d) fan layout)."""
+    s = jnp.sum(rep[..., None] * a * b)
+    if axis_name is not None:
+        s = lax.psum(s, axis_name)
+    return s
+
+
+def dual_dot(a, b, rep, axis_name=None):
+    return (masked_dot(a["xi"], b["xi"], rep, axis_name) +
+            masked_dot(a["psi"], b["psi"], rep, axis_name))
+
+
+def make_solver(*, algorithm: str, prefix_stages: tuple, inv_step: float,
+                step_size: float, penalty_state: float,
+                penalty_safety: float, xs_upper: float,
+                max_iterations: int, lbfgs_buffer_size: int,
+                axis_name: str | None = None, project_control: bool = True):
+    """Build the jittable FBE or NAMA solve function fn(fa, step)."""
+    is_fbe = algorithm == ALGORITHM_FBE
+    if not is_fbe and algorithm != ALGORITHM_NAMA:
+        raise ValueError(f"unknown quasi-Newton algorithm {algorithm}")
+    n_cols = lbfgs_buffer_size + 1   # column 0 unused (see module docstring)
+
+    # ------------------------------------------------------------------
+    def oracle(fa, xi, psi):
+        """Hessian oracle: the solve-step linear map on a dual direction."""
+        zx = jnp.zeros_like(fa["d1"][..., :1])
+        zeros = {
+            "beta": jnp.zeros(xi.shape[:2] + (fa["invWbar"].shape[0],),
+                              xi.dtype),
+            "uhat": jnp.zeros_like(psi),
+            "e": jnp.zeros(xi.shape[:2] + (fa["d1"].shape[-1],), xi.dtype),
+            "x0": jnp.zeros((fa["d1"].shape[-1],), xi.dtype),
+            "pu": jnp.zeros((fa["g"].shape[-1],), xi.dtype),
+        }
+        sol = ss.solve_step(
+            fa, xi, psi, zeros["beta"], zeros["uhat"], zeros["e"],
+            zeros["x0"], zeros["pu"], zeros["pu"],
+            prefix_stages=prefix_stages, axis_name=axis_name)
+        return sol
+
+    def prox(fa, prim, w):
+        dual_xi, dual_psi, value_g = ss.prox_g(
+            fa, prim["xi"], prim["psi"], w["xi"], w["psi"],
+            inv_step=inv_step, penalty_state=penalty_state,
+            penalty_safety=penalty_safety, xs_upper=xs_upper,
+            axis_name=axis_name)
+        return {"xi": dual_xi, "psi": dual_psi}, value_g
+
+    def value_fbe(fa, step, w, u, res, value_g):
+        """FBE value (computeValueFbe, src/SmpcController.cu:1417-1476):
+        <w, r> + step/2 ||r||^2 + g-values + f(u) where
+        f = sum_n p_n du_n' W du_n + sum_n p_n u_n' alpha_n."""
+        rep = fa["rep"]
+        val = dual_dot(w, res, rep, axis_name)
+        val = val + 0.5 * step_size * dual_dot(res, res, rep, axis_name)
+        val = val + value_g
+        # delta-u down the scenario paths (fan layout: same-slot diff)
+        du0 = u[0] - step["prev_u"][None, :]
+        du = jnp.concatenate([du0[None], u[1:] - u[:-1]], axis=0)
+        Wdu = jnp.matmul(du, fa["W"].T, precision=ss.MM_PRECISION)
+        p = fa["prob"]
+        smooth = jnp.sum(rep[..., None] * (p * du) * Wdu)
+        econ = jnp.sum(rep[..., None] * (p * u) * step["alpha_price"])
+        if axis_name is not None:
+            smooth = lax.psum(smooth, axis_name)
+            econ = lax.psum(econ, axis_name)
+        return val + smooth + econ
+
+    # ------------------------------------------------------------------
+    # L-BFGS (reference updateLbfgsBuffer + twoLoopRecursionLbfgs)
+    def lbfgs_update_and_direction(fa, lb, y, y_prev, yvec, yvec_prev):
+        rep = fa["rep"]
+        s = {"xi": y["xi"] - y_prev["xi"], "psi": y["psi"] - y_prev["psi"]}
+        yv = {"xi": yvec["xi"] - yvec_prev["xi"],
+              "psi": yvec["psi"] - yvec_prev["psi"]}
+        norm_grad = jnp.sqrt(dual_dot(yvec, yvec, rep, axis_name))
+        inv_rho = dual_dot(s, yv, rep, axis_name)
+        norm_y2 = dual_dot(yv, yv, rep, axis_name)
+        norm_s2 = dual_dot(s, s, rep, axis_name)
+
+        norm_grad = jnp.where(norm_grad < 1.0, norm_grad ** 3, norm_grad)
+        accept = inv_rho / jnp.maximum(norm_s2, 1e-30) > 1e-6 * norm_grad
+
+        col_new = 1 + (lb["col"] % lbfgs_buffer_size)
+        col = jnp.where(accept, col_new, lb["col"])
+        mem = jnp.where(accept,
+                        jnp.minimum(lb["mem"] + 1, lbfgs_buffer_size),
+                        lb["mem"])
+        mat_s = {k: jnp.where(accept,
+                              lb["mat_s"][k].at[col_new].set(s[k]),
+                              lb["mat_s"][k]) for k in ("xi", "psi")}
+        mat_y = {k: jnp.where(accept,
+                              lb["mat_y"][k].at[col_new].set(yv[k]),
+                              lb["mat_y"][k]) for k in ("xi", "psi")}
+        rho = jnp.where(accept,
+                        lb["rho"].at[col_new].set(1.0 / inv_rho), lb["rho"])
+        skips = lb["skips"] + jnp.where(accept, 0, 1)
+
+        gamma = inv_rho / jnp.maximum(norm_y2, 1e-30)
+        hessian = jnp.where(
+            (gamma < 0) | (jnp.abs(gamma - lb["hessian"]) == 0),
+            1.0, gamma)
+
+        # two-loop recursion on dir = -yvec
+        d = {"xi": -yvec["xi"], "psi": -yvec["psi"]}
+
+        def loop1(i, carry):
+            d, alphas = carry
+            icol = col - i
+            icol = jnp.where(icol < 0, mem + icol, icol)
+            sk = {k: mat_s[k][icol] for k in d}
+            yk = {k: mat_y[k][icol] for k in d}
+            a = rho[icol] * dual_dot(sk, d, rep, axis_name)
+            d = {k: d[k] - a * yk[k] for k in d}
+            return d, alphas.at[icol].set(a)
+
+        alphas0 = jnp.zeros((n_cols,), jnp.float32)
+        d, alphas = lax.fori_loop(0, mem, loop1, (d, alphas0))
+        d = {k: hessian * d[k] for k in d}
+
+        def loop2(j, d):
+            i = mem - j            # iSize runs mem..1
+            icol = col - i + 1
+            icol = jnp.where(icol < 0, mem + icol, icol)
+            sk = {k: mat_s[k][icol] for k in d}
+            yk = {k: mat_y[k][icol] for k in d}
+            b = rho[icol] * dual_dot(yk, d, rep, axis_name)
+            scale = alphas[icol] - b
+            return {k: d[k] + scale * sk[k] for k in d}
+
+        d = lax.fori_loop(0, mem, loop2, d)
+        lb_new = {"mat_s": mat_s, "mat_y": mat_y, "rho": rho, "col": col,
+                  "mem": mem, "skips": skips, "hessian": hessian}
+        return lb_new, d
+
+    # ------------------------------------------------------------------
+    def line_search(fa, step, state, lbfgs_dir, dirs_lb, value_ref,
+                    direction_value, extra_w_shift=None):
+        """Cumulative backtracking tau loop (reference :1280-1315).
+
+        state: dict with x, u, w, prim, dual, res, value_g.
+        dirs_lb: oracle output for the search direction.
+        extra_w_shift: NAMA adds the direction to w via lbfgs_dir which
+        already includes the -step*res correction; handled by caller.
+        """
+
+        def apply(state, tau):
+            x = state["x"] + tau * dirs_lb["x"]
+            u = state["u"] + tau * dirs_lb["u"]
+            w = {"xi": state["w"]["xi"] + tau * lbfgs_dir["xi"],
+                 "psi": state["w"]["psi"] + tau * lbfgs_dir["psi"]}
+            prim = {"xi": state["prim"]["xi"] + tau * dirs_lb["prim_xi"],
+                    "psi": state["prim"]["psi"] + tau * dirs_lb["prim_psi"]}
+            dual, value_g = prox(fa, prim, w)
+            res = {"xi": prim["xi"] - dual["xi"],
+                   "psi": prim["psi"] - dual["psi"]}
+            val = value_fbe(fa, step, w, u, res, value_g)
+            return {"x": x, "u": u, "w": w, "prim": prim, "dual": dual,
+                    "res": res, "value_g": value_g}, val
+
+        def cond(carry):
+            istep, tau, st, val = carry
+            return istep < LS_MAX_STEPS + 1
+
+        def body(carry):
+            istep, tau, st, _ = carry
+            st_new, val = apply(st, tau)
+            improved = val <= value_ref
+            istep_new = jnp.where(improved, istep + 1, LS_MAX_STEPS + 1)
+            tau_base = jnp.where(istep_new == 1, -1.0, tau)
+            tau_new = jnp.where(
+                improved & (istep_new < LS_MAX_STEPS),
+                tau_base + 0.5 ** istep_new.astype(jnp.float32), tau)
+            return istep_new, tau_new, st_new, val
+
+        def run_ls(state):
+            init = (jnp.int32(0), jnp.float32(1.0), state, jnp.float32(0.0))
+            istep, tau, st, _ = lax.while_loop(cond, body, init)
+            return st, jnp.abs(tau)
+
+        positive = direction_value > 0
+        tiny = jnp.abs(direction_value) < LS_TOLERANCE
+
+        def no_ls(state):
+            return state, jnp.where(positive, jnp.float32(1.0),
+                                    jnp.float32(0.0))
+
+        return lax.cond(positive | tiny, no_ls, run_ls, state)
+
+    # ------------------------------------------------------------------
+    def one_iteration(fa, step, carry, it):
+        w = carry["w"]
+        sol = ss.solve_step(
+            fa, w["xi"], w["psi"], step["beta"], step["uhat"], step["e"],
+            step["x0"], step["prev_u"], step["prev_uhat"],
+            prefix_stages=prefix_stages, axis_name=axis_name)
+        prim = {"xi": sol["prim_xi"], "psi": sol["prim_psi"]}
+        dual, value_g = prox(fa, prim, w)
+        res = {"xi": prim["xi"] - dual["xi"],
+               "psi": prim["psi"] - dual["psi"]}
+
+        if is_fbe:
+            neg_res = {"xi": -res["xi"], "psi": -res["psi"]}
+            hdir = oracle(fa, neg_res["xi"], neg_res["psi"])
+            yvec = {"xi": neg_res["xi"] + step_size * hdir["prim_xi"],
+                    "psi": neg_res["psi"] + step_size * hdir["prim_psi"]}
+        else:
+            yvec = {"xi": -res["xi"], "psi": -res["psi"]}
+
+        state = {"x": sol["x"], "u": sol["u"], "w": w, "prim": prim,
+                 "dual": dual, "res": res, "value_g": value_g}
+
+        def with_qn(args):
+            state, lb = args
+            value = value_fbe(fa, step, state["w"], state["u"],
+                              state["res"], state["value_g"])
+            lb_new, lbfgs_dir = lbfgs_update_and_direction(
+                fa, lb, carry["y"], carry["y_prev"], yvec,
+                carry["yvec_prev"])
+            rep = fa["rep"]
+            if is_fbe:
+                dirs_lb = oracle(fa, lbfgs_dir["xi"], lbfgs_dir["psi"])
+                dval = dual_dot(yvec, lbfgs_dir, rep, axis_name)
+                dirs = {"x": dirs_lb["x"], "u": dirs_lb["u"],
+                        "prim_xi": dirs_lb["prim_xi"],
+                        "prim_psi": dirs_lb["prim_psi"]}
+                st, tau = line_search(fa, step, state, lbfgs_dir, dirs,
+                                      value, dval)
+            else:
+                # NAMA/AME (src/SmpcController.cu:1326-1414):
+                # 1) directional value vs the fixed-point residual
+                dval = -dual_dot(state["res"], lbfgs_dir, rep, axis_name)
+                # 2) gradient step along the residual direction
+                hres = oracle(fa, state["res"]["xi"], state["res"]["psi"])
+                st = dict(state)
+                st["w"] = {
+                    "xi": state["w"]["xi"] + step_size * state["res"]["xi"],
+                    "psi": state["w"]["psi"] +
+                    step_size * state["res"]["psi"]}
+                st["x"] = state["x"] + step_size * hres["x"]
+                st["u"] = state["u"] + step_size * hres["u"]
+                st["prim"] = {
+                    "xi": state["prim"]["xi"] +
+                    step_size * hres["prim_xi"],
+                    "psi": state["prim"]["psi"] +
+                    step_size * hres["prim_psi"]}
+                # 3) combined direction d = lbfgsDir - step*res
+                comb = {"xi": lbfgs_dir["xi"] -
+                        step_size * state["res"]["xi"],
+                        "psi": lbfgs_dir["psi"] -
+                        step_size * state["res"]["psi"]}
+                hcomb = oracle(fa, comb["xi"], comb["psi"])
+                dirs = {"x": hcomb["x"], "u": hcomb["u"],
+                        "prim_xi": hcomb["prim_xi"],
+                        "prim_psi": hcomb["prim_psi"]}
+                st, tau = line_search(fa, step, st, comb, dirs, value, dval)
+            return st, lb_new, tau, value
+
+        def without_qn(args):
+            state, lb = args
+            return state, lb, jnp.float32(0.0), jnp.float32(0.0)
+
+        state, lb, tau, value = lax.cond(
+            it > 0, with_qn, without_qn, (state, carry["lbfgs"]))
+
+        # dual update (src/SmpcController.cu:865-880)
+        y_new = {"xi": state["w"]["xi"] + step_size * state["res"]["xi"],
+                 "psi": state["w"]["psi"] + step_size * state["res"]["psi"]}
+        infeas = ss.signed_max_abs(state["res"]["xi"], state["res"]["psi"],
+                                   axis_name)
+        new_carry = {
+            "y": y_new, "y_prev": carry["y"], "yvec_prev": yvec,
+            "w": y_new, "lbfgs": lb,
+            "x": state["x"], "u": state["u"], "v": sol["v"],
+        }
+        return new_carry, (infeas, value, tau)
+
+    # ------------------------------------------------------------------
+    def run(fa, step):
+        N, ns = step["beta"].shape[:2]
+        nx = fa["d1"].shape[-1]
+        nu = fa["g"].shape[-1]
+        nv = fa["invWbar"].shape[0]
+        zx = jnp.zeros((N, ns, 2 * nx), jnp.float32)
+        zp = jnp.zeros((N, ns, nu), jnp.float32)
+        zero_dual = {"xi": zx, "psi": zp}
+        lb0 = {
+            "mat_s": {"xi": jnp.zeros((n_cols, N, ns, 2 * nx), jnp.float32),
+                      "psi": jnp.zeros((n_cols, N, ns, nu), jnp.float32)},
+            "mat_y": {"xi": jnp.zeros((n_cols, N, ns, 2 * nx), jnp.float32),
+                      "psi": jnp.zeros((n_cols, N, ns, nu), jnp.float32)},
+            "rho": jnp.zeros((n_cols,), jnp.float32),
+            "col": jnp.int32(0), "mem": jnp.int32(0),
+            "skips": jnp.int32(0), "hessian": jnp.float32(1.0),
+        }
+        carry = {
+            "y": zero_dual, "y_prev": zero_dual, "yvec_prev": zero_dual,
+            "w": zero_dual, "lbfgs": lb0,
+            "x": jnp.zeros((N, ns, nx), jnp.float32),
+            "u": jnp.zeros((N, ns, nu), jnp.float32),
+            "v": jnp.zeros((N, ns, nv), jnp.float32),
+        }
+
+        def body(c, it):
+            return one_iteration(fa, step, c, it)
+
+        carry, (infeas, values, taus) = lax.scan(
+            body, carry, jnp.arange(max_iterations))
+        if project_control:
+            u0 = jnp.clip(carry["u"][0, 0], fa["umin"][0, 0],
+                          fa["umax"][0, 0])
+        else:
+            u0 = carry["u"][0, 0]
+        return {
+            "control": u0, "x": carry["x"], "u": carry["u"],
+            "v": carry["v"], "y": carry["y"],
+            "primal_infeasibility": infeas,
+            "value_fbe": values, "tau": taus,
+        }
+
+    return run

@@ -7,11 +7,19 @@ xla_force_host_platform_device_count.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend for tests even when the session targets a TPU.
+# The machine's sitecustomize registers the axon TPU plugin and pins the
+# platform programmatically, so the env var alone is not enough — the
+# jax.config update below is what actually wins.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,54 @@
+"""Closed-loop controller tests (reference main.cu:34-69 semantics)."""
+
+import copy
+
+import numpy as np
+import pytest
+
+from tests.conftest import fixture_path, requires_reference
+
+
+@requires_reference
+def test_closed_loop_reference_problem(ref_problem, tmp_path):
+    from rapidnet_tpu.solver.controller import SmpcController
+    cfg = copy.deepcopy(ref_problem["config"])
+    cfg.max_iterations = 80   # short budget keeps the test fast
+    ctrl = SmpcController(cfg, network=ref_problem["network"],
+                          tree=ref_problem["tree"],
+                          forecaster=ref_problem["forecaster"])
+    out = tmp_path / "control.json"
+    log = ctrl.closed_loop(steps=3, output_json=str(out))
+    assert out.exists()
+    for t in range(3):
+        u = np.asarray(log[f"control{t}"])
+        assert u.shape == (6,)
+        assert np.isfinite(u).all()
+        assert log[f"time{t}"][0] > 0
+    # state evolved and stayed finite
+    assert np.isfinite(ctrl.config.current_x).all()
+    assert not np.allclose(ctrl.config.current_x,
+                           ref_problem["config"].current_x)
+    # KPIs accumulate
+    assert log["economicKpi"] > 0
+    assert log["smoothKpi"] >= 0
+    assert np.isfinite(log["networkKpi"])
+
+
+def test_closed_loop_synthetic():
+    """End-to-end on a generated problem (no reference files needed)."""
+    from rapidnet_tpu.model.network import synthetic_network
+    from rapidnet_tpu.model.scenario_tree import generate_tree
+    from rapidnet_tpu.model.forecaster import synthetic_forecaster
+    from rapidnet_tpu.model.config import synthetic_config
+    from rapidnet_tpu.solver.controller import SmpcController
+
+    net = synthetic_network(nx=5, nu=8, nd=3, ne=2, seed=7)
+    tree = generate_tree(N=8, branching=[2, 2], nd=3, nu=8, seed=7)
+    fc = synthetic_forecaster(N=8, nd=3, nu=8, sim_horizon=6, seed=7)
+    cfg = synthetic_config(net, tree, max_iterations=60, step_size=1e-3)
+    ctrl = SmpcController(cfg, network=net, tree=tree, forecaster=fc)
+    log = ctrl.closed_loop(steps=2)
+    for t in range(2):
+        u = np.asarray(log[f"control{t}"])
+        assert np.isfinite(u).all()
+    assert np.isfinite(ctrl.config.current_x).all()

@@ -1,0 +1,93 @@
+"""Multi-device tests on the virtual 8-device CPU mesh.
+
+Validates that the scenario-axis-sharded solve produces the same results
+as the single-device path (SURVEY §4: the reference has no distributed
+tests; this tier is new).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from rapidnet_tpu.engine.engine import XS_UPPER, Engine
+from rapidnet_tpu.model.config import synthetic_config
+from rapidnet_tpu.model.forecaster import synthetic_forecaster
+from rapidnet_tpu.model.network import synthetic_network
+from rapidnet_tpu.model.scenario_tree import generate_tree
+from rapidnet_tpu.solver import apg as apg_mod
+from rapidnet_tpu.solver.controller import _factor_arrays, _step_arrays
+
+
+@pytest.fixture(scope="module")
+def problem():
+    """Synthetic problem with ns=16 scenarios (divisible by 8 devices)."""
+    net = synthetic_network(nx=4, nu=7, nd=3, ne=2, seed=11)
+    tree = generate_tree(N=10, branching=[4, 2, 2], nd=3, nu=7, seed=11)
+    assert tree.ns == 16
+    fc = synthetic_forecaster(N=10, nd=3, nu=7, sim_horizon=4, seed=11)
+    cfg = synthetic_config(net, tree, max_iterations=40, step_size=1e-3)
+    eng = Engine(net, tree, cfg)
+    fc.predict_demand(0)
+    fc.predict_prices(0)
+    fa = _factor_arrays(eng)
+    step = _step_arrays(eng.prepare_step(
+        fc.nominal_demand, fc.nominal_prices, cfg.current_x, cfg.prev_u,
+        cfg.prev_demand))
+    return dict(cfg=cfg, eng=eng, fa=fa, step=step,
+                prefix_stages=eng.factor_step().prefix_stages)
+
+
+def _solver_kwargs(p):
+    cfg = p["cfg"]
+    return dict(prefix_stages=p["prefix_stages"],
+                inv_step=1.0 / cfg.step_size, step_size=cfg.step_size,
+                penalty_state=cfg.penalty_state,
+                penalty_safety=cfg.penalty_safety,
+                xs_upper=float(XS_UPPER),
+                max_iterations=cfg.max_iterations)
+
+
+def test_sharded_apg_matches_single_device(problem):
+    from rapidnet_tpu.parallel import (make_mesh, make_sharded_apg,
+                                       shard_factor_arrays,
+                                       shard_step_arrays)
+    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+
+    single = jax.jit(apg_mod.make_apg(**_solver_kwargs(problem)))
+    ref = single(problem["fa"], problem["step"])
+
+    mesh = make_mesh(8)
+    fa_sh = shard_factor_arrays(problem["fa"], mesh)
+    step_sh = shard_step_arrays(problem["step"], mesh)
+    sharded = make_sharded_apg(mesh, problem["fa"], problem["step"],
+                               **_solver_kwargs(problem))
+    out = sharded(fa_sh, step_sh)
+
+    np.testing.assert_allclose(np.asarray(out["control"]),
+                               np.asarray(ref["control"]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["u"]), np.asarray(ref["u"]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["x"]), np.asarray(ref["x"]),
+                               rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(out["primal_infeasibility"]),
+        np.asarray(ref["primal_infeasibility"]), rtol=1e-3, atol=1e-4)
+
+
+def test_sharded_apg_4_devices(problem):
+    """Mesh sizes that do not equal the scenario count also work."""
+    from rapidnet_tpu.parallel import (make_mesh, make_sharded_apg,
+                                       shard_factor_arrays,
+                                       shard_step_arrays)
+    mesh = make_mesh(4)
+    fa_sh = shard_factor_arrays(problem["fa"], mesh)
+    step_sh = shard_step_arrays(problem["step"], mesh)
+    sharded = make_sharded_apg(mesh, problem["fa"], problem["step"],
+                               **_solver_kwargs(problem))
+    out = sharded(fa_sh, step_sh)
+    single = jax.jit(apg_mod.make_apg(**_solver_kwargs(problem)))
+    ref = single(problem["fa"], problem["step"])
+    np.testing.assert_allclose(np.asarray(out["control"]),
+                               np.asarray(ref["control"]),
+                               rtol=2e-4, atol=2e-4)
