@@ -21,14 +21,13 @@ one jitted XLA program.
 
 Faithfulness notes:
   * the reference's rolling column update ``col = 1 + (col % size)``
-    writes one past its buffer when col == size (an out-of-bounds bug);
-    we allocate size+1 columns so the same indexing is well defined.
-    Column 0 stays zero with rho[0] = 0, so the two-loop recursion's
-    occasional visit to column 0 after wrap-around is a no-op, exactly
-    as the reference's zero-initialised memory behaves pre-overflow.
-  * the line search keeps the last (worsening) trial applied, as the
-    reference does — we replicate rather than "fix" this, since the
-    golden fixtures encode it.
+    can write one past its buffer when the wrap lands on col == size;
+    we allocate size+1 columns so the same 1-based indexing is well
+    defined.  Column 0 stays zero with rho[0] = 0, so the two-loop
+    recursion's occasional visit to column 0 after wrap-around is a
+    no-op, matching the reference's zero-initialised memory.
+  * the line searches keep the last (worsening) trial applied, exactly
+    as the reference's loops do — the golden fixtures encode this.
 """
 
 from __future__ import annotations
@@ -57,6 +56,225 @@ def dual_dot(a, b, rep, axis_name=None):
             masked_dot(a["psi"], b["psi"], rep, axis_name))
 
 
+def oracle(fa, xi, psi, *, prefix_stages, axis_name=None):
+    """Hessian oracle: the solve-step linear map on a dual direction
+    (computeHessianOracalGlobalFbe, src/SmpcController.cu:884-1055)."""
+    N, ns = xi.shape[:2]
+    nx = fa["d1"].shape[-1]
+    nu = fa["g"].shape[-1]
+    nv = fa["invWbar"].shape[0]
+    f32 = xi.dtype
+    return ss.solve_step(
+        fa, xi, psi,
+        jnp.zeros((N, ns, nv), f32), jnp.zeros((N, ns, nu), f32),
+        jnp.zeros((N, ns, nx), f32), jnp.zeros((nx,), f32),
+        jnp.zeros((nu,), f32), jnp.zeros((nu,), f32),
+        prefix_stages=prefix_stages, axis_name=axis_name)
+
+
+def value_fbe(fa, step, w, u, res, value_g, *, step_size, axis_name=None):
+    """FBE value (computeValueFbe, src/SmpcController.cu:1417-1476):
+
+    <w, r> + (step/2) ||r||^2 + g-values + f(u), with
+    f = sum_n p_n du_n' W du_n + sum_n p_n u_n' alpha_n and
+    du_n = u_n - u_anc(n) (root: - previous control).
+    """
+    rep = fa["rep"]
+    val = dual_dot(w, res, rep, axis_name)
+    val = val + 0.5 * step_size * dual_dot(res, res, rep, axis_name)
+    val = val + value_g
+    du0 = u[0] - step["prev_u"][None, :]
+    du = jnp.concatenate([du0[None], u[1:] - u[:-1]], axis=0)
+    Wdu = jnp.matmul(du, fa["W"].T, precision=ss.MM_PRECISION)
+    p = fa["prob"]
+    smooth = jnp.sum(rep[..., None] * (p * du) * Wdu)
+    econ = jnp.sum(rep[..., None] * (p * u) * step["alpha_price"])
+    if axis_name is not None:
+        smooth = lax.psum(smooth, axis_name)
+        econ = lax.psum(econ, axis_name)
+    return val + smooth + econ
+
+
+def lbfgs_update_and_direction(fa, lb, y, y_prev, yvec, yvec_prev, *,
+                               buffer_size, axis_name=None):
+    """L-BFGS buffer update + two-loop recursion.
+
+    Reference: updateLbfgsBuffer (src/SmpcController.cu:1103-1177) and
+    twoLoopRecursionLbfgs (:1182-1232).  lb holds mat_s/mat_y with
+    buffer_size+1 columns (column 0 unused, see module docstring).
+    """
+    rep = fa["rep"]
+    lb = jax.tree.map(jnp.asarray, lb)
+    s = {"xi": y["xi"] - y_prev["xi"], "psi": y["psi"] - y_prev["psi"]}
+    yv = {"xi": yvec["xi"] - yvec_prev["xi"],
+          "psi": yvec["psi"] - yvec_prev["psi"]}
+    norm_grad = jnp.sqrt(dual_dot(yvec, yvec, rep, axis_name))
+    inv_rho = dual_dot(s, yv, rep, axis_name)
+    norm_y2 = dual_dot(yv, yv, rep, axis_name)
+    norm_s2 = dual_dot(s, s, rep, axis_name)
+
+    norm_grad = jnp.where(norm_grad < 1.0, norm_grad ** 3, norm_grad)
+    accept = inv_rho / jnp.maximum(norm_s2, 1e-30) > 1e-6 * norm_grad
+
+    col_new = 1 + (lb["col"] % buffer_size)
+    col = jnp.where(accept, col_new, lb["col"])
+    mem = jnp.where(accept, jnp.minimum(lb["mem"] + 1, buffer_size),
+                    lb["mem"])
+    mat_s = {k: jnp.where(accept, lb["mat_s"][k].at[col_new].set(s[k]),
+                          lb["mat_s"][k]) for k in ("xi", "psi")}
+    mat_y = {k: jnp.where(accept, lb["mat_y"][k].at[col_new].set(yv[k]),
+                          lb["mat_y"][k]) for k in ("xi", "psi")}
+    rho = jnp.where(accept, lb["rho"].at[col_new].set(1.0 / inv_rho),
+                    lb["rho"])
+    skips = lb["skips"] + jnp.where(accept, 0, 1)
+
+    gamma = inv_rho / jnp.maximum(norm_y2, 1e-30)
+    hessian = jnp.where((gamma < 0) | (jnp.abs(gamma - lb["hessian"]) == 0),
+                        1.0, gamma)
+
+    # two-loop recursion on dir = -yvec
+    d = {"xi": -yvec["xi"], "psi": -yvec["psi"]}
+    n_cols = buffer_size + 1
+
+    def loop1(i, carry):
+        d, alphas = carry
+        icol = col - i
+        icol = jnp.where(icol < 0, mem + icol, icol)
+        sk = {k: mat_s[k][icol] for k in d}
+        yk = {k: mat_y[k][icol] for k in d}
+        a = rho[icol] * dual_dot(sk, d, rep, axis_name)
+        d = {k: d[k] - a * yk[k] for k in d}
+        return d, alphas.at[icol].set(a)
+
+    d, alphas = lax.fori_loop(0, mem, loop1,
+                              (d, jnp.zeros((n_cols,), jnp.float32)))
+    d = {k: hessian * d[k] for k in d}
+
+    def loop2(j, d):
+        i = mem - j              # reference iSize runs mem..1
+        icol = col - i + 1
+        icol = jnp.where(icol < 0, mem + icol, icol)
+        sk = {k: mat_s[k][icol] for k in d}
+        yk = {k: mat_y[k][icol] for k in d}
+        b = rho[icol] * dual_dot(yk, d, rep, axis_name)
+        scale = alphas[icol] - b
+        return {k: d[k] + scale * sk[k] for k in d}
+
+    d = lax.fori_loop(0, mem, loop2, d)
+    lb_new = {"mat_s": mat_s, "mat_y": mat_y, "rho": rho, "col": col,
+              "mem": mem, "skips": skips, "hessian": hessian}
+    return lb_new, d
+
+
+def _ls_apply(fa, step, state, w_dir, dirs, tau, *, prox_kwargs, step_size,
+              axis_name):
+    """One cumulative line-search application + re-evaluation."""
+    x = state["x"] + tau * dirs["x"]
+    u = state["u"] + tau * dirs["u"]
+    w = {"xi": state["w"]["xi"] + tau * w_dir["xi"],
+         "psi": state["w"]["psi"] + tau * w_dir["psi"]}
+    prim = {"xi": state["prim"]["xi"] + tau * dirs["prim_xi"],
+            "psi": state["prim"]["psi"] + tau * dirs["prim_psi"]}
+    dual_xi, dual_psi, value_g = ss.prox_g(
+        fa, prim["xi"], prim["psi"], w["xi"], w["psi"],
+        axis_name=axis_name, **prox_kwargs)
+    res = {"xi": prim["xi"] - dual_xi, "psi": prim["psi"] - dual_psi}
+    val = value_fbe(fa, step, w, u, res, value_g, step_size=step_size,
+                    axis_name=axis_name)
+    new_state = {"x": x, "u": u, "w": w, "prim": prim,
+                 "dual": {"xi": dual_xi, "psi": dual_psi},
+                 "res": res, "value_g": value_g}
+    return new_state, val
+
+
+def tau_line_search(fa, step, state, w_dir, dirs, value_ref,
+                    direction_value, *, prox_kwargs, step_size,
+                    axis_name=None):
+    """The reference's cumulative backtracking tau loop (:1280-1315).
+
+    Applies tau increments 1, -1/2, +1/4-1/2... cumulatively while the
+    FBE value keeps improving; the final worsening trial stays applied.
+    Returns (state, |last tau increment|).
+    """
+
+    def cond(carry):
+        istep, tau, st, val = carry
+        return istep < LS_MAX_STEPS + 1
+
+    def body(carry):
+        istep, tau, st, _ = carry
+        st_new, val = _ls_apply(fa, step, st, w_dir, dirs, tau,
+                                prox_kwargs=prox_kwargs,
+                                step_size=step_size, axis_name=axis_name)
+        improved = val <= value_ref
+        istep_new = jnp.where(improved, istep + 1,
+                              jnp.int32(LS_MAX_STEPS + 1))
+        tau_base = jnp.where(istep_new == 1, jnp.float32(-1.0), tau)
+        tau_new = jnp.where(improved & (istep_new < LS_MAX_STEPS),
+                            tau_base + 0.5 ** istep_new.astype(jnp.float32),
+                            tau)
+        return istep_new, tau_new, st_new, val
+
+    def run_ls(state):
+        init = (jnp.int32(0), jnp.float32(1.0), state, jnp.float32(0.0))
+        _, tau, st, _ = lax.while_loop(cond, body, init)
+        return st, jnp.abs(tau)
+
+    positive = direction_value > 0
+    tiny = jnp.abs(direction_value) < LS_TOLERANCE
+
+    def no_ls(state):
+        return state, jnp.where(positive, jnp.float32(1.0), jnp.float32(0.0))
+
+    return lax.cond(positive | tiny, no_ls, run_ls, state)
+
+
+def fbe_line_search(fa, step, state, grad, lbfgs_dir, value_ref, *,
+                    prefix_stages, prox_kwargs, step_size, axis_name=None):
+    """computeLineSearchLbfgsUpdate (src/SmpcController.cu:1250-1320)."""
+    h = oracle(fa, lbfgs_dir["xi"], lbfgs_dir["psi"],
+               prefix_stages=prefix_stages, axis_name=axis_name)
+    dirs = {"x": h["x"], "u": h["u"], "prim_xi": h["prim_xi"],
+            "prim_psi": h["prim_psi"]}
+    dval = dual_dot(grad, lbfgs_dir, fa["rep"], axis_name)
+    return tau_line_search(fa, step, state, lbfgs_dir, dirs, value_ref,
+                           dval, prox_kwargs=prox_kwargs,
+                           step_size=step_size, axis_name=axis_name)
+
+
+def ame_line_search(fa, step, state, lbfgs_dir, value_ref, *,
+                    prefix_stages, prox_kwargs, step_size, axis_name=None):
+    """computeLineSearchAmeLbfgsUpdate (src/SmpcController.cu:1326-1414).
+
+    First takes the gradient (residual) step unconditionally, then runs
+    the tau loop along the combined direction d = lbfgsDir - step * res.
+    """
+    rep = fa["rep"]
+    res = state["res"]
+    dval = -dual_dot(res, lbfgs_dir, rep, axis_name)
+
+    hres = oracle(fa, res["xi"], res["psi"], prefix_stages=prefix_stages,
+                  axis_name=axis_name)
+    st = dict(state)
+    st["w"] = {"xi": state["w"]["xi"] + step_size * res["xi"],
+               "psi": state["w"]["psi"] + step_size * res["psi"]}
+    st["x"] = state["x"] + step_size * hres["x"]
+    st["u"] = state["u"] + step_size * hres["u"]
+    st["prim"] = {"xi": state["prim"]["xi"] + step_size * hres["prim_xi"],
+                  "psi": state["prim"]["psi"] +
+                  step_size * hres["prim_psi"]}
+
+    comb = {"xi": lbfgs_dir["xi"] - step_size * res["xi"],
+            "psi": lbfgs_dir["psi"] - step_size * res["psi"]}
+    hcomb = oracle(fa, comb["xi"], comb["psi"], prefix_stages=prefix_stages,
+                   axis_name=axis_name)
+    dirs = {"x": hcomb["x"], "u": hcomb["u"], "prim_xi": hcomb["prim_xi"],
+            "prim_psi": hcomb["prim_psi"]}
+    return tau_line_search(fa, step, st, comb, dirs, value_ref, dval,
+                           prox_kwargs=prox_kwargs, step_size=step_size,
+                           axis_name=axis_name)
+
+
 def make_solver(*, algorithm: str, prefix_stages: tuple, inv_step: float,
                 step_size: float, penalty_state: float,
                 penalty_safety: float, xs_upper: float,
@@ -66,176 +284,16 @@ def make_solver(*, algorithm: str, prefix_stages: tuple, inv_step: float,
     is_fbe = algorithm == ALGORITHM_FBE
     if not is_fbe and algorithm != ALGORITHM_NAMA:
         raise ValueError(f"unknown quasi-Newton algorithm {algorithm}")
-    n_cols = lbfgs_buffer_size + 1   # column 0 unused (see module docstring)
-
-    # ------------------------------------------------------------------
-    def oracle(fa, xi, psi):
-        """Hessian oracle: the solve-step linear map on a dual direction."""
-        zx = jnp.zeros_like(fa["d1"][..., :1])
-        zeros = {
-            "beta": jnp.zeros(xi.shape[:2] + (fa["invWbar"].shape[0],),
-                              xi.dtype),
-            "uhat": jnp.zeros_like(psi),
-            "e": jnp.zeros(xi.shape[:2] + (fa["d1"].shape[-1],), xi.dtype),
-            "x0": jnp.zeros((fa["d1"].shape[-1],), xi.dtype),
-            "pu": jnp.zeros((fa["g"].shape[-1],), xi.dtype),
-        }
-        sol = ss.solve_step(
-            fa, xi, psi, zeros["beta"], zeros["uhat"], zeros["e"],
-            zeros["x0"], zeros["pu"], zeros["pu"],
-            prefix_stages=prefix_stages, axis_name=axis_name)
-        return sol
+    n_cols = lbfgs_buffer_size + 1
+    prox_kwargs = dict(inv_step=inv_step, penalty_state=penalty_state,
+                       penalty_safety=penalty_safety, xs_upper=xs_upper)
 
     def prox(fa, prim, w):
         dual_xi, dual_psi, value_g = ss.prox_g(
             fa, prim["xi"], prim["psi"], w["xi"], w["psi"],
-            inv_step=inv_step, penalty_state=penalty_state,
-            penalty_safety=penalty_safety, xs_upper=xs_upper,
-            axis_name=axis_name)
+            axis_name=axis_name, **prox_kwargs)
         return {"xi": dual_xi, "psi": dual_psi}, value_g
 
-    def value_fbe(fa, step, w, u, res, value_g):
-        """FBE value (computeValueFbe, src/SmpcController.cu:1417-1476):
-        <w, r> + step/2 ||r||^2 + g-values + f(u) where
-        f = sum_n p_n du_n' W du_n + sum_n p_n u_n' alpha_n."""
-        rep = fa["rep"]
-        val = dual_dot(w, res, rep, axis_name)
-        val = val + 0.5 * step_size * dual_dot(res, res, rep, axis_name)
-        val = val + value_g
-        # delta-u down the scenario paths (fan layout: same-slot diff)
-        du0 = u[0] - step["prev_u"][None, :]
-        du = jnp.concatenate([du0[None], u[1:] - u[:-1]], axis=0)
-        Wdu = jnp.matmul(du, fa["W"].T, precision=ss.MM_PRECISION)
-        p = fa["prob"]
-        smooth = jnp.sum(rep[..., None] * (p * du) * Wdu)
-        econ = jnp.sum(rep[..., None] * (p * u) * step["alpha_price"])
-        if axis_name is not None:
-            smooth = lax.psum(smooth, axis_name)
-            econ = lax.psum(econ, axis_name)
-        return val + smooth + econ
-
-    # ------------------------------------------------------------------
-    # L-BFGS (reference updateLbfgsBuffer + twoLoopRecursionLbfgs)
-    def lbfgs_update_and_direction(fa, lb, y, y_prev, yvec, yvec_prev):
-        rep = fa["rep"]
-        s = {"xi": y["xi"] - y_prev["xi"], "psi": y["psi"] - y_prev["psi"]}
-        yv = {"xi": yvec["xi"] - yvec_prev["xi"],
-              "psi": yvec["psi"] - yvec_prev["psi"]}
-        norm_grad = jnp.sqrt(dual_dot(yvec, yvec, rep, axis_name))
-        inv_rho = dual_dot(s, yv, rep, axis_name)
-        norm_y2 = dual_dot(yv, yv, rep, axis_name)
-        norm_s2 = dual_dot(s, s, rep, axis_name)
-
-        norm_grad = jnp.where(norm_grad < 1.0, norm_grad ** 3, norm_grad)
-        accept = inv_rho / jnp.maximum(norm_s2, 1e-30) > 1e-6 * norm_grad
-
-        col_new = 1 + (lb["col"] % lbfgs_buffer_size)
-        col = jnp.where(accept, col_new, lb["col"])
-        mem = jnp.where(accept,
-                        jnp.minimum(lb["mem"] + 1, lbfgs_buffer_size),
-                        lb["mem"])
-        mat_s = {k: jnp.where(accept,
-                              lb["mat_s"][k].at[col_new].set(s[k]),
-                              lb["mat_s"][k]) for k in ("xi", "psi")}
-        mat_y = {k: jnp.where(accept,
-                              lb["mat_y"][k].at[col_new].set(yv[k]),
-                              lb["mat_y"][k]) for k in ("xi", "psi")}
-        rho = jnp.where(accept,
-                        lb["rho"].at[col_new].set(1.0 / inv_rho), lb["rho"])
-        skips = lb["skips"] + jnp.where(accept, 0, 1)
-
-        gamma = inv_rho / jnp.maximum(norm_y2, 1e-30)
-        hessian = jnp.where(
-            (gamma < 0) | (jnp.abs(gamma - lb["hessian"]) == 0),
-            1.0, gamma)
-
-        # two-loop recursion on dir = -yvec
-        d = {"xi": -yvec["xi"], "psi": -yvec["psi"]}
-
-        def loop1(i, carry):
-            d, alphas = carry
-            icol = col - i
-            icol = jnp.where(icol < 0, mem + icol, icol)
-            sk = {k: mat_s[k][icol] for k in d}
-            yk = {k: mat_y[k][icol] for k in d}
-            a = rho[icol] * dual_dot(sk, d, rep, axis_name)
-            d = {k: d[k] - a * yk[k] for k in d}
-            return d, alphas.at[icol].set(a)
-
-        alphas0 = jnp.zeros((n_cols,), jnp.float32)
-        d, alphas = lax.fori_loop(0, mem, loop1, (d, alphas0))
-        d = {k: hessian * d[k] for k in d}
-
-        def loop2(j, d):
-            i = mem - j            # iSize runs mem..1
-            icol = col - i + 1
-            icol = jnp.where(icol < 0, mem + icol, icol)
-            sk = {k: mat_s[k][icol] for k in d}
-            yk = {k: mat_y[k][icol] for k in d}
-            b = rho[icol] * dual_dot(yk, d, rep, axis_name)
-            scale = alphas[icol] - b
-            return {k: d[k] + scale * sk[k] for k in d}
-
-        d = lax.fori_loop(0, mem, loop2, d)
-        lb_new = {"mat_s": mat_s, "mat_y": mat_y, "rho": rho, "col": col,
-                  "mem": mem, "skips": skips, "hessian": hessian}
-        return lb_new, d
-
-    # ------------------------------------------------------------------
-    def line_search(fa, step, state, lbfgs_dir, dirs_lb, value_ref,
-                    direction_value, extra_w_shift=None):
-        """Cumulative backtracking tau loop (reference :1280-1315).
-
-        state: dict with x, u, w, prim, dual, res, value_g.
-        dirs_lb: oracle output for the search direction.
-        extra_w_shift: NAMA adds the direction to w via lbfgs_dir which
-        already includes the -step*res correction; handled by caller.
-        """
-
-        def apply(state, tau):
-            x = state["x"] + tau * dirs_lb["x"]
-            u = state["u"] + tau * dirs_lb["u"]
-            w = {"xi": state["w"]["xi"] + tau * lbfgs_dir["xi"],
-                 "psi": state["w"]["psi"] + tau * lbfgs_dir["psi"]}
-            prim = {"xi": state["prim"]["xi"] + tau * dirs_lb["prim_xi"],
-                    "psi": state["prim"]["psi"] + tau * dirs_lb["prim_psi"]}
-            dual, value_g = prox(fa, prim, w)
-            res = {"xi": prim["xi"] - dual["xi"],
-                   "psi": prim["psi"] - dual["psi"]}
-            val = value_fbe(fa, step, w, u, res, value_g)
-            return {"x": x, "u": u, "w": w, "prim": prim, "dual": dual,
-                    "res": res, "value_g": value_g}, val
-
-        def cond(carry):
-            istep, tau, st, val = carry
-            return istep < LS_MAX_STEPS + 1
-
-        def body(carry):
-            istep, tau, st, _ = carry
-            st_new, val = apply(st, tau)
-            improved = val <= value_ref
-            istep_new = jnp.where(improved, istep + 1, LS_MAX_STEPS + 1)
-            tau_base = jnp.where(istep_new == 1, -1.0, tau)
-            tau_new = jnp.where(
-                improved & (istep_new < LS_MAX_STEPS),
-                tau_base + 0.5 ** istep_new.astype(jnp.float32), tau)
-            return istep_new, tau_new, st_new, val
-
-        def run_ls(state):
-            init = (jnp.int32(0), jnp.float32(1.0), state, jnp.float32(0.0))
-            istep, tau, st, _ = lax.while_loop(cond, body, init)
-            return st, jnp.abs(tau)
-
-        positive = direction_value > 0
-        tiny = jnp.abs(direction_value) < LS_TOLERANCE
-
-        def no_ls(state):
-            return state, jnp.where(positive, jnp.float32(1.0),
-                                    jnp.float32(0.0))
-
-        return lax.cond(positive | tiny, no_ls, run_ls, state)
-
-    # ------------------------------------------------------------------
     def one_iteration(fa, step, carry, it):
         w = carry["w"]
         sol = ss.solve_step(
@@ -248,10 +306,10 @@ def make_solver(*, algorithm: str, prefix_stages: tuple, inv_step: float,
                "psi": prim["psi"] - dual["psi"]}
 
         if is_fbe:
-            neg_res = {"xi": -res["xi"], "psi": -res["psi"]}
-            hdir = oracle(fa, neg_res["xi"], neg_res["psi"])
-            yvec = {"xi": neg_res["xi"] + step_size * hdir["prim_xi"],
-                    "psi": neg_res["psi"] + step_size * hdir["prim_psi"]}
+            hdir = oracle(fa, -res["xi"], -res["psi"],
+                          prefix_stages=prefix_stages, axis_name=axis_name)
+            yvec = {"xi": -res["xi"] + step_size * hdir["prim_xi"],
+                    "psi": -res["psi"] + step_size * hdir["prim_psi"]}
         else:
             yvec = {"xi": -res["xi"], "psi": -res["psi"]}
 
@@ -261,47 +319,22 @@ def make_solver(*, algorithm: str, prefix_stages: tuple, inv_step: float,
         def with_qn(args):
             state, lb = args
             value = value_fbe(fa, step, state["w"], state["u"],
-                              state["res"], state["value_g"])
+                              state["res"], state["value_g"],
+                              step_size=step_size, axis_name=axis_name)
             lb_new, lbfgs_dir = lbfgs_update_and_direction(
                 fa, lb, carry["y"], carry["y_prev"], yvec,
-                carry["yvec_prev"])
-            rep = fa["rep"]
+                carry["yvec_prev"], buffer_size=lbfgs_buffer_size,
+                axis_name=axis_name)
             if is_fbe:
-                dirs_lb = oracle(fa, lbfgs_dir["xi"], lbfgs_dir["psi"])
-                dval = dual_dot(yvec, lbfgs_dir, rep, axis_name)
-                dirs = {"x": dirs_lb["x"], "u": dirs_lb["u"],
-                        "prim_xi": dirs_lb["prim_xi"],
-                        "prim_psi": dirs_lb["prim_psi"]}
-                st, tau = line_search(fa, step, state, lbfgs_dir, dirs,
-                                      value, dval)
+                st, tau = fbe_line_search(
+                    fa, step, state, yvec, lbfgs_dir, value,
+                    prefix_stages=prefix_stages, prox_kwargs=prox_kwargs,
+                    step_size=step_size, axis_name=axis_name)
             else:
-                # NAMA/AME (src/SmpcController.cu:1326-1414):
-                # 1) directional value vs the fixed-point residual
-                dval = -dual_dot(state["res"], lbfgs_dir, rep, axis_name)
-                # 2) gradient step along the residual direction
-                hres = oracle(fa, state["res"]["xi"], state["res"]["psi"])
-                st = dict(state)
-                st["w"] = {
-                    "xi": state["w"]["xi"] + step_size * state["res"]["xi"],
-                    "psi": state["w"]["psi"] +
-                    step_size * state["res"]["psi"]}
-                st["x"] = state["x"] + step_size * hres["x"]
-                st["u"] = state["u"] + step_size * hres["u"]
-                st["prim"] = {
-                    "xi": state["prim"]["xi"] +
-                    step_size * hres["prim_xi"],
-                    "psi": state["prim"]["psi"] +
-                    step_size * hres["prim_psi"]}
-                # 3) combined direction d = lbfgsDir - step*res
-                comb = {"xi": lbfgs_dir["xi"] -
-                        step_size * state["res"]["xi"],
-                        "psi": lbfgs_dir["psi"] -
-                        step_size * state["res"]["psi"]}
-                hcomb = oracle(fa, comb["xi"], comb["psi"])
-                dirs = {"x": hcomb["x"], "u": hcomb["u"],
-                        "prim_xi": hcomb["prim_xi"],
-                        "prim_psi": hcomb["prim_psi"]}
-                st, tau = line_search(fa, step, st, comb, dirs, value, dval)
+                st, tau = ame_line_search(
+                    fa, step, state, lbfgs_dir, value,
+                    prefix_stages=prefix_stages, prox_kwargs=prox_kwargs,
+                    step_size=step_size, axis_name=axis_name)
             return st, lb_new, tau, value
 
         def without_qn(args):
@@ -323,7 +356,6 @@ def make_solver(*, algorithm: str, prefix_stages: tuple, inv_step: float,
         }
         return new_carry, (infeas, value, tau)
 
-    # ------------------------------------------------------------------
     def run(fa, step):
         N, ns = step["beta"].shape[:2]
         nx = fa["d1"].shape[-1]
