@@ -4,7 +4,9 @@ Problem: Barcelona-scale synthetic DWN (nx=63 tanks, nu=114 controls,
 nd=88 demands, ne=17 junctions), H=24, 556-node scenario tree (25
 scenarios), 500 APG iterations per solve — the reference's measurement
 unit is wall ms per controlAction at a fixed iteration budget
-(src/main.cu:55-59; BASELINE.md).
+(src/main.cu:55-59; BASELINE.md).  The dual preconditioner and step
+size are auto-tuned (solver/tuning.py), standing in for the reference's
+out-of-band MATLAB preprocessing.
 
 The reference publishes no numbers, so vs_baseline is the speedup of
 this chip over the same XLA program on the host CPU (single process,
@@ -28,27 +30,29 @@ MAX_ITER = 500
 
 
 def build_problem():
-    from rapidnet_tpu.engine.engine import Engine
     from rapidnet_tpu.model.config import synthetic_config
     from rapidnet_tpu.model.forecaster import synthetic_forecaster
     from rapidnet_tpu.model.network import synthetic_network
     from rapidnet_tpu.model.scenario_tree import generate_tree
     from rapidnet_tpu.solver.controller import _factor_arrays, _step_arrays
+    from rapidnet_tpu.solver.tuning import auto_tune
 
     nx, nu, nd, ne = 63, 114, 88, 17
     net = synthetic_network(nx=nx, nu=nu, nd=nd, ne=ne, seed=42)
     tree = generate_tree(N=24, branching=[5, 5], nd=nd, nu=nu, seed=42)
     fc = synthetic_forecaster(N=24, nd=nd, nu=nu, sim_horizon=4, seed=42)
-    cfg = synthetic_config(net, tree, max_iterations=MAX_ITER,
-                           step_size=1e-3)
-    eng = Engine(net, tree, cfg)
+    cfg0 = synthetic_config(net, tree, max_iterations=MAX_ITER)
+    cfg, eng = auto_tune(net, tree, cfg0)
     fc.predict_demand(0)
     fc.predict_prices(0)
     fa = _factor_arrays(eng)
-    step = _step_arrays(eng.prepare_step(
-        fc.nominal_demand, fc.nominal_prices, cfg.current_x, cfg.prev_u,
-        cfg.prev_demand))
-    return cfg, eng, fa, step, tree
+
+    def make_step(x0):
+        return _step_arrays(eng.prepare_step(
+            fc.nominal_demand, fc.nominal_prices, x0, cfg.prev_u,
+            cfg.prev_demand))
+
+    return cfg, eng, fa, make_step, tree
 
 
 def measure(repeats=REPEATS):
@@ -57,20 +61,26 @@ def measure(repeats=REPEATS):
     from rapidnet_tpu.engine.engine import XS_UPPER
     from rapidnet_tpu.solver import apg as apg_mod
 
-    cfg, eng, fa, step, tree = build_problem()
+    cfg, eng, fa, make_step, tree = build_problem()
     run = jax.jit(apg_mod.make_apg(
         prefix_stages=eng.factor_step().prefix_stages,
         inv_step=1.0 / cfg.step_size, step_size=cfg.step_size,
         penalty_state=cfg.penalty_state, penalty_safety=cfg.penalty_safety,
         xs_upper=float(XS_UPPER), max_iterations=MAX_ITER))
     # warmup/compile
-    out = run(fa, step)
-    jax.block_until_ready(out["control"])
+    rng = np.random.default_rng(7)
+    x0 = cfg.current_x
+    out = jax.block_until_ready(run(fa, make_step(x0)))
+    final_inf = float(np.abs(
+        np.asarray(out["primal_infeasibility"])[-10:]).mean())
     times = []
     for _ in range(repeats):
+        # perturb the state so every solve is a distinct computation
+        xr = x0 * (1.0 + 0.02 * rng.standard_normal(x0.shape)
+                   ).astype(np.float32)
+        step = make_step(xr)
         t0 = time.perf_counter()
-        out = run(fa, step)
-        jax.block_until_ready(out["control"])
+        out = jax.block_until_ready(run(fa, step))
         times.append(time.perf_counter() - t0)
     p50 = float(np.median(times))
     return {
@@ -78,13 +88,16 @@ def measure(repeats=REPEATS):
         "solves_per_s": 1.0 / p50,
         "tree_nodes": int(tree.n_nodes),
         "scenarios": int(tree.ns),
+        "final_infeasibility": final_inf,
         "backend": jax.default_backend(),
     }
 
 
 def main():
-    if "--cpu-baseline" in sys.argv:
-        # child process: measure the CPU path and emit raw JSON
+    if os.environ.get("RAPIDNET_BENCH_FORCE_CPU") == "1":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
         res = measure(repeats=3)
         print(json.dumps(res))
         return
@@ -92,17 +105,17 @@ def main():
     res = measure()
     print(f"[bench] backend={res['backend']} p50={res['p50_s']*1e3:.2f} ms "
           f"({res['solves_per_s']:.2f} solves/s, "
-          f"{res['tree_nodes']}-node tree, {MAX_ITER} APG iters)",
+          f"{res['tree_nodes']}-node tree, {MAX_ITER} APG iters, "
+          f"final infeasibility {res['final_infeasibility']:.3e})",
           file=sys.stderr)
 
     vs_baseline = 1.0
     if res["backend"] != "cpu":
-        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        env = dict(os.environ, RAPIDNET_BENCH_FORCE_CPU="1")
         try:
             cp = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--cpu-baseline"],
-                capture_output=True, text=True, timeout=1800, env=env,
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True, text=True, timeout=2400, env=env,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             cpu = json.loads(cp.stdout.strip().splitlines()[-1])
             vs_baseline = cpu["p50_s"] / res["p50_s"]

@@ -1,0 +1,69 @@
+"""Closed-loop CLI driver (reference main.cu parity).
+
+Usage:
+  python -m rapidnet_tpu.cli --config path/to/controllerConfig.json \
+      --steps 10 --output controlOutput.json [--external-simulator]
+
+Runs the receding-horizon loop: forecast -> controlAction (timed) ->
+moveForwardInTime, then prints the four KPIs — mirroring
+src/main.cu:34-69.  With ``--external-simulator`` the controller
+re-reads currentX/prevU/prevDemand from the config JSON each step and
+writes the updated state back (the reference's simulatorFlag=0 path,
+src/SmpcController.cu:1712-1716 + updateSmpcConfiguration :1725-1773).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", required=True,
+                   help="controller configuration JSON "
+                        "(reference-compatible)")
+    p.add_argument("--steps", type=int, default=2,
+                   help="closed-loop time instances to simulate")
+    p.add_argument("--output", default="controlOutput.json",
+                   help="control output JSON path")
+    p.add_argument("--external-simulator", action="store_true",
+                   help="read/write closed-loop state via the config "
+                        "JSON instead of the built-in simulator")
+    p.add_argument("--no-price-uncertainty", action="store_true")
+    p.add_argument("--no-demand-uncertainty", action="store_true")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace here")
+    args = p.parse_args(argv)
+
+    from rapidnet_tpu.solver.controller import SmpcController
+
+    ctrl = SmpcController(args.config)
+    if args.no_price_uncertainty:
+        ctrl.engine.price_uncertainty = False
+    if args.no_demand_uncertainty:
+        ctrl.engine.demand_uncertainty = False
+    ctrl.simulator_flag = not args.external_simulator
+
+    print(f"scenario tree nodes {ctrl.tree.n_nodes} "
+          f"{ctrl.tree.ns}", file=sys.stderr)
+
+    if args.profile_dir:
+        from rapidnet_tpu.utils.timing import profile_trace
+        with profile_trace(args.profile_dir):
+            log = ctrl.closed_loop(args.steps, output_json=args.output)
+    else:
+        log = ctrl.closed_loop(args.steps, output_json=args.output)
+
+    for t in range(args.steps):
+        print(f"time lapsed {log[f'time{t}'][0]:.3f} milliseconds",
+              file=sys.stderr)
+    print(f"economic kpi {log['economicKpi']}")
+    print(f"smooth kpi {log['smoothKpi']}")
+    print(f"safety kpi {log['safetyKpi']}")
+    print(f"network utility kpi {log['networkKpi']}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

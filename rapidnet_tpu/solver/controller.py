@@ -161,10 +161,17 @@ class SmpcController:
 
     # ------------------------------------------------------------------
     def move_forward_in_time(self) -> np.ndarray:
-        """Built-in simulator: x+ = x + B u + Gd d (mass balance).
+        """Advance the closed loop by one time instance.
 
-        Reference: moveForewardInTime (src/SmpcController.cu:1679-1717)
-        minus its dead-buffer e bug; KPI update identical.
+        With ``simulator_flag`` (default) runs the built-in simulator
+        x+ = x + B u + Gd d (mass balance; reference moveForewardInTime,
+        src/SmpcController.cu:1679-1717, minus its dead-buffer e bug)
+        and updates the in-memory state.  Without it, the reference's
+        external-simulator contract applies: the updated state is
+        written into the config JSON and the (possibly
+        externally-modified) state is re-read from it
+        (src/SmpcController.cu:1712-1716, SmpcConfiguration
+        file-setters :240-293).
         """
         u = self._last_control
         if u is None:
@@ -173,10 +180,46 @@ class SmpcController:
         x = (self.config.current_x + self.network.matB @ u +
              self.network.matGd @ d).astype(np.float32)
         self._update_kpi(x, u)
-        self.config.set_current_state(x)
-        self.config.set_previous_control(u)
-        self.config.set_previous_demand(d)
+        if self.simulator_flag:
+            self.config.set_current_state(x)
+            self.config.set_previous_control(u)
+            self.config.set_previous_demand(d)
+        else:
+            self.update_smpc_configuration(x, u, d)
+            self.reload_state_from_config()
         return x
+
+    # ------------------------------------------------------------------
+    # external-simulator JSON state contract
+    def update_smpc_configuration(self, state, control, demand,
+                                  path: Optional[str] = None) -> None:
+        """Write currentX/prevU/prevDemand back into the config JSON
+        (reference updateSmpcConfiguration,
+        src/SmpcController.cu:1725-1773)."""
+        from rapidnet_tpu.io import jsonio
+        path = path or self.config.path_to_config
+        if not path:
+            raise ValueError("config has no backing JSON file")
+        doc = jsonio.load_json(path)
+        doc["currentX"] = np.asarray(state, np.float32).tolist()
+        doc["prevU"] = np.asarray(control, np.float32).tolist()
+        doc["prevDemand"] = np.asarray(demand, np.float32).tolist()
+        jsonio.dump_json(path, doc)
+
+    def reload_state_from_config(self, path: Optional[str] = None) -> None:
+        """Re-read closed-loop state from the config JSON (reference
+        SmpcConfiguration file-based setters,
+        src/SmpcConfiguration.cu:240-293 — without replicating the
+        setPreviousDemand-writes-to-prevU bug at :290)."""
+        from rapidnet_tpu.io import jsonio
+        path = path or self.config.path_to_config
+        doc = jsonio.load_json(path)
+        self.config.set_current_state(
+            np.asarray(doc["currentX"], np.float32))
+        self.config.set_previous_control(
+            np.asarray(doc["prevU"], np.float32))
+        self.config.set_previous_demand(
+            np.asarray(doc["prevDemand"], np.float32))
 
     def _update_kpi(self, state: np.ndarray, control: np.ndarray) -> None:
         net, cfg = self.network, self.config
