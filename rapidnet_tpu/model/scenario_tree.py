@@ -143,30 +143,30 @@ class ScenarioTree:
                 self.final_branch_node = int(self.nodes_per_stage_cumul[s + 1])
                 break
 
-        # scenario paths: node_of_slot[s, i]
-        node_of_slot = np.zeros((N, ns), np.int32)
-        for i, leaf in enumerate(self.leaves):
-            node = int(leaf)
-            for s in range(N - 1, -1, -1):
-                node_of_slot[s, i] = node
-                node = int(self.ancestor[node])
+        # scenario paths: node_of_slot[s, i]  (native C++ fast path for
+        # large trees; pure-Python fallback below)
+        node_of_slot, rep = self._fan_layout_native()
+        if node_of_slot is None:
+            node_of_slot = np.zeros((N, ns), np.int32)
+            for i, leaf in enumerate(self.leaves):
+                node = int(leaf)
+                for s in range(N - 1, -1, -1):
+                    node_of_slot[s, i] = node
+                    node = int(self.ancestor[node])
+            rep = np.zeros((N, ns), np.float32)
+            rep[:, 0] = 1.0
+            rep[:, 1:] = (node_of_slot[:, 1:] != node_of_slot[:, :-1])
         self.node_of_slot = node_of_slot
+        self.rep = rep
 
         # contiguity check: each node's slots must form one contiguous run
         for s in range(N):
-            row = node_of_slot[s]
-            changes = np.flatnonzero(np.diff(row) != 0)
-            segments = len(changes) + 1
+            segments = int(rep[s].sum())
             if segments != self.nodes_per_stage[s]:
                 raise ValueError(
                     f"scenario slots of stage {s} are not contiguous per "
                     f"node ({segments} runs vs {self.nodes_per_stage[s]} "
                     "nodes); reorder leaves")
-
-        rep = np.zeros((N, ns), np.float32)
-        rep[:, 0] = 1.0
-        rep[:, 1:] = (node_of_slot[:, 1:] != node_of_slot[:, :-1])
-        self.rep = rep
 
         # prefix aggregation matrices: C_s[i, j] = 1 when stage-s slot j is
         # the representative slot of a child of the node at stage s-1 slot i
@@ -181,6 +181,30 @@ class ScenarioTree:
                     & (rep[s] > 0)
                 C[i, mask] = 1.0
             self.prefix_agg[s] = C
+
+    def _fan_layout_native(self):
+        """C++ fast path for the scenario-path walk (native/jsonfast.cpp
+        tree_fan_layout); returns (None, None) when unavailable."""
+        try:
+            from rapidnet_tpu.native import get_lib
+            lib = get_lib()
+        except Exception:
+            lib = None
+        if lib is None:
+            return None, None
+        N, ns = self.N, self.ns
+        node_of_slot = np.zeros((N, ns), np.int32)
+        rep_u8 = np.zeros((N, ns), np.uint8)
+        anc = np.ascontiguousarray(self.ancestor, np.int32)
+        stg = np.ascontiguousarray(self.stage, np.int32)
+        lvs = np.ascontiguousarray(self.leaves, np.int32)
+        rc = lib.tree_fan_layout(
+            anc.ctypes.data, stg.ctypes.data, lvs.ctypes.data,
+            self.n_nodes, N, ns, node_of_slot.ctypes.data,
+            rep_u8.ctypes.data)
+        if rc != 0:
+            return None, None
+        return node_of_slot, rep_u8.astype(np.float32)
 
     # ------------------------------------------------------------------
     # layout conversion helpers
