@@ -116,6 +116,23 @@ def test_synthetic_tree_generator():
     assert set(tree.prefix_agg.keys()) == {1, 2, 3}
 
 
+def test_tree_from_samples():
+    """Forecaster-driven scenario generation (stagewise clustering)."""
+    from rapidnet_tpu.model.scenario_tree import generate_tree_from_samples
+    rng = np.random.default_rng(0)
+    d = np.cumsum(rng.standard_normal((100, 10, 4)) * 0.05,
+                  axis=1).astype(np.float32)
+    p = np.cumsum(rng.standard_normal((100, 10, 6)) * 0.02,
+                  axis=1).astype(np.float32)
+    tree = generate_tree_from_samples(d, p, branching=[3, 2])
+    assert tree.ns <= 6 and tree.ns >= 2
+    for s in range(tree.N):
+        nodes = np.flatnonzero(tree.stage == s)
+        assert tree.prob[nodes].sum() == pytest.approx(1.0, abs=1e-5)
+    # node error values are within the sampled range
+    assert np.abs(tree.err_demand).max() <= np.abs(d).max() + 1e-6
+
+
 def test_synthetic_network_wellposed():
     from rapidnet_tpu.model.network import synthetic_network
     from rapidnet_tpu.engine.nullspace import (nullspace_elimination,
