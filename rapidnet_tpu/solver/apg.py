@@ -4,8 +4,18 @@ Reference: ``SmpcController::algorithmApg`` (src/SmpcController.cu:
 1500-1525) with the Nesterov theta sequence and extrapolation of
 src/SmpcController.cu:535-557.  The reference launches ~hundreds of
 cuBLAS calls + kernels per iteration with two host syncs (prox norm,
-infeasibility); here the *entire* iteration loop is one ``lax.scan``
-inside one jitted XLA program — zero host round-trips.
+infeasibility); here the *entire* iteration loop is one ``lax.scan`` /
+``lax.while_loop`` inside one jitted XLA program — zero host
+round-trips.
+
+Beyond reference parity:
+* ``warm_start``: pass the previous solve's dual pair as ``y0`` — in
+  receding-horizon closed loops this typically cuts iterations-to-
+  tolerance several-fold (the reference always cold-starts,
+  src/SmpcController.cu:425-432).
+* ``tolerance``: early termination on the primal-infeasibility
+  diagnostic, via ``lax.while_loop`` (the reference always runs the
+  full budget).
 """
 
 from __future__ import annotations
@@ -22,14 +32,16 @@ from rapidnet_tpu.solver import solve_step as ss
 def make_apg(*, prefix_stages: tuple, inv_step: float, step_size: float,
              penalty_state: float, penalty_safety: float, xs_upper: float,
              max_iterations: int, axis_name: str | None = None,
-             project_control: bool = True):
+             project_control: bool = True, tolerance: float | None = None):
     """Build the jittable APG solve function.
 
-    Returns fn(fa, step) -> dict with final x, u, v, duals and the
-    per-iteration primal-infeasibility trace.
+    Returns fn(fa, step, y0=None) -> dict with final x, u, v, duals and
+    the per-iteration primal-infeasibility trace (zero-padded past the
+    termination point when ``tolerance`` is set).
 
     ``fa`` is the factor-array dict (fan layout), ``step`` the per-step
-    dict with beta/uhat/e/x0/prev_u/prev_uhat.
+    dict with beta/uhat/e/x0/prev_u/prev_uhat, ``y0`` an optional dual
+    warm start {"xi": ..., "psi": ...}.
     """
 
     def one_iteration(fa, step, carry):
@@ -65,25 +77,22 @@ def make_apg(*, prefix_stages: tuple, inv_step: float, step_size: float,
                      "v": sol["v"]}
         return new_carry, infeas
 
-    def run(fa, step):
+    def init_carry(fa, step, y0):
         shp = step["beta"].shape[:2]   # (N, ns)
         nxd = fa["d1"].shape[-1]
         nu = fa["g"].shape[-1]
-        zeros_xi = jnp.zeros(shp + (2 * nxd,), jnp.float32)
-        zeros_psi = jnp.zeros(shp + (nu,), jnp.float32)
-        carry = {
-            "y": {"xi": zeros_xi, "psi": zeros_psi},
-            "y_prev": {"xi": zeros_xi, "psi": zeros_psi},
+        if y0 is None:
+            y0 = {"xi": jnp.zeros(shp + (2 * nxd,), jnp.float32),
+                  "psi": jnp.zeros(shp + (nu,), jnp.float32)}
+        return {
+            "y": y0, "y_prev": y0,
             "th0": jnp.float32(1.0), "th1": jnp.float32(1.0),
             "x": jnp.zeros(shp + (nxd,), jnp.float32),
             "u": jnp.zeros(shp + (nu,), jnp.float32),
             "v": jnp.zeros(shp + (fa["invWbar"].shape[0],), jnp.float32),
         }
 
-        def body(c, _):
-            return one_iteration(fa, step, c)
-
-        carry, infeas = lax.scan(body, carry, None, length=max_iterations)
+    def finish(fa, carry, infeas, iters):
         # final control = stage-0 u of the last solve, projected onto the
         # (preconditioned) node-0 control bounds — reference parity with
         # src/SmpcController.cu:1647-1649.  (Skipped in sharded mode where
@@ -98,6 +107,37 @@ def make_apg(*, prefix_stages: tuple, inv_step: float, step_size: float,
             "x": carry["x"], "u": carry["u"], "v": carry["v"],
             "y": carry["y"],
             "primal_infeasibility": infeas,
+            "iterations": iters,
         }
+
+    if tolerance is None:
+        def run(fa, step, y0=None):
+            carry = init_carry(fa, step, y0)
+
+            def body(c, _):
+                return one_iteration(fa, step, c)
+
+            carry, infeas = lax.scan(body, carry, None,
+                                     length=max_iterations)
+            return finish(fa, carry, infeas,
+                          jnp.int32(max_iterations))
+    else:
+        def run(fa, step, y0=None):
+            carry = init_carry(fa, step, y0)
+            infs0 = jnp.zeros((max_iterations,), jnp.float32)
+
+            def cond(state):
+                it, c, infs, last = state
+                return (it < max_iterations) & (last > tolerance)
+
+            def body(state):
+                it, c, infs, _ = state
+                c, inf = one_iteration(fa, step, c)
+                return it + 1, c, infs.at[it].set(inf), jnp.abs(inf)
+
+            it, carry, infs, _ = lax.while_loop(
+                cond, body,
+                (jnp.int32(0), carry, infs0, jnp.float32(jnp.inf)))
+            return finish(fa, carry, infs, it)
 
     return run

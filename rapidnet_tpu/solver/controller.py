@@ -77,9 +77,14 @@ class SmpcController:
     def __init__(self, config: SmpcConfig | str,
                  network: Optional[DwnNetwork] = None,
                  tree: Optional[ScenarioTree] = None,
-                 forecaster: Optional[Forecaster] = None):
+                 forecaster: Optional[Forecaster] = None,
+                 warm_start: bool = False,
+                 tolerance: Optional[float] = None):
         if isinstance(config, str):
             config = SmpcConfig.from_json(config)
+        self.warm_start = warm_start
+        self.tolerance = tolerance
+        self._y_carry = None
         self.config = config
         self.network = network or DwnNetwork.from_json(
             config.path_to_network)
@@ -116,7 +121,8 @@ class SmpcController:
                 penalty_state=float(cfg.penalty_state),
                 penalty_safety=float(cfg.penalty_safety),
                 xs_upper=float(XS_UPPER),
-                max_iterations=int(cfg.max_iterations))
+                max_iterations=int(cfg.max_iterations),
+                tolerance=self.tolerance)
         elif cfg.algorithm in (ALGORITHM_FBE, ALGORITHM_NAMA):
             from rapidnet_tpu.solver import quasi_newton
             run = quasi_newton.make_solver(
@@ -152,9 +158,25 @@ class SmpcController:
             self.initialise()
         step = self.prepare_step(sim_time)
         t0 = time.perf_counter()
-        out = self._solver(self._fa, step)
+        if self.config.algorithm == ALGORITHM_APG:
+            if self.warm_start:
+                if self._y_carry is None:
+                    # zero warm start keeps the jit signature stable
+                    N, ns = step["beta"].shape[:2]
+                    nx = self._fa["d1"].shape[-1]
+                    nu = self._fa["g"].shape[-1]
+                    self._y_carry = {
+                        "xi": jnp.zeros((N, ns, 2 * nx), jnp.float32),
+                        "psi": jnp.zeros((N, ns, nu), jnp.float32)}
+                out = self._solver(self._fa, step, self._y_carry)
+            else:
+                out = self._solver(self._fa, step, None)
+        else:
+            out = self._solver(self._fa, step)
         control = np.asarray(jax.block_until_ready(out["control"]))
         self.solve_times_ms.append((time.perf_counter() - t0) * 1e3)
+        if self.warm_start:
+            self._y_carry = out["y"]
         self._last = out
         self._last_control = control
         return control

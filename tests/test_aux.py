@@ -117,6 +117,34 @@ def test_auto_tuning_converges():
     assert infs[-10:].mean() < max(1e-2 * infs[:10].max(), 0.1)
 
 
+def test_warm_start_and_tolerance():
+    """Warm-started, tolerance-terminated closed loop uses fewer
+    iterations after the first step (a capability the reference lacks —
+    it always cold-starts the full budget)."""
+    from rapidnet_tpu.model.network import synthetic_network
+    from rapidnet_tpu.model.scenario_tree import generate_tree
+    from rapidnet_tpu.model.forecaster import synthetic_forecaster
+    from rapidnet_tpu.model.config import synthetic_config
+    from rapidnet_tpu.solver.controller import SmpcController
+    from rapidnet_tpu.solver.tuning import auto_tune
+
+    net = synthetic_network(nx=4, nu=6, nd=3, ne=2, seed=3)
+    tree = generate_tree(N=6, branching=[2], nd=3, nu=6, seed=3)
+    cfg0 = synthetic_config(net, tree, max_iterations=400)
+    cfg, _ = auto_tune(net, tree, cfg0)
+    fc = synthetic_forecaster(N=6, nd=3, nu=6, sim_horizon=8, seed=3)
+    ctrl = SmpcController(cfg, network=net, tree=tree, forecaster=fc,
+                          warm_start=True, tolerance=1e-3)
+    iters = []
+    for t in range(3):
+        ctrl.control_action(t)
+        iters.append(int(np.asarray(ctrl._last["iterations"])))
+        ctrl.move_forward_in_time()
+    assert iters[0] <= 400
+    # warm started steps terminate earlier than the cold start
+    assert min(iters[1:]) <= iters[0]
+
+
 def test_cli_runs(tmp_path, ref_problem):
     """CLI end-to-end on the reference config (2 steps, reduced budget)."""
     import shutil
