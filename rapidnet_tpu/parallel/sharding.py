@@ -109,6 +109,7 @@ def make_sharded_apg(mesh: Mesh, fa_template: dict, step_template: dict, *,
         "v": P(None, AXIS, None),
         "y": {"xi": P(None, AXIS, None), "psi": P(None, AXIS, None)},
         "primal_infeasibility": P(),
+        "iterations": P(),
     }
 
     def body(fa, step):

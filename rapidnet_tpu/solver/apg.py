@@ -28,6 +28,10 @@ from jax import lax
 
 from rapidnet_tpu.solver import solve_step as ss
 
+# Unrolling the iteration scan trades compile time for ~10% lower
+# per-iteration overhead on TPU (tiny-op regime).
+ITER_UNROLL = 4
+
 
 def make_apg(*, prefix_stages: tuple, inv_step: float, step_size: float,
              penalty_state: float, penalty_safety: float, xs_upper: float,
@@ -118,7 +122,8 @@ def make_apg(*, prefix_stages: tuple, inv_step: float, step_size: float,
                 return one_iteration(fa, step, c)
 
             carry, infeas = lax.scan(body, carry, None,
-                                     length=max_iterations)
+                                     length=max_iterations,
+                                     unroll=ITER_UNROLL)
             return finish(fa, carry, infeas,
                           jnp.int32(max_iterations))
     else:
