@@ -34,7 +34,14 @@ def main(argv=None):
     p.add_argument("--no-demand-uncertainty", action="store_true")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace here")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force a jax platform (overrides any "
+                        "environment/site pinning)")
     args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     from rapidnet_tpu.solver.controller import SmpcController
 

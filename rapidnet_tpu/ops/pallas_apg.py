@@ -1,28 +1,37 @@
-"""Fused Pallas kernel: one full APG iteration in VMEM.
+"""Fused Pallas kernel: the ENTIRE APG solve in one kernel.
 
-The XLA path (solver/apg.py) lowers each iteration to ~50 small kernels
-(stage scans of tiny matmuls + elementwise chains + reductions); on TPU
-the per-kernel overhead dominates for small/medium trees.  This kernel
-runs the ENTIRE iteration — dual extrapolation, the backward/forward
-tree sweeps, prox-of-g with its global penalty norms, the fixed-point
-residual, the dual update and the infeasibility diagnostic — as one
-``pallas_call`` with all state resident in VMEM:
+The XLA path (solver/apg.py) lowers each iteration to ~25 kernels
+(batched matmuls + cumsums + elementwise chains + reductions); for the
+production tree sizes the whole dual state fits comfortably in VMEM, so
+this kernel runs the full iteration loop — dual extrapolation, the
+backward/forward tree sweeps, prox-of-g with its global penalty norms,
+the fixed-point residual, dual update and the per-iteration
+infeasibility diagnostic — as ONE ``pallas_call``: zero kernel-launch
+overhead and zero HBM traffic inside the loop.
+
+Design notes:
 
 * lane padding: nx/nu/nv padded to 128 (MXU/VPU lane width); scenario
   slots padded to a sublane multiple.  Padded entries are zero in every
   input, and stay zero through the recursions (d1/d2/g pads are 0, so
   primal pads are 0; bound pads are 0, so dual pads are 0), which keeps
   the global norms and max-abs diagnostics exact without masking;
+* all per-stage arrays are stored 2D as (N*NSP, P): the stage-s slab is
+  rows [s*NSP, (s+1)*NSP).  The backward/forward recursions are affine
+  with stage-invariant matrices (see solver/solve_step.py), so each
+  sweep is ONE big (N*NSP, 128)@(128, 128) MXU matmul plus a stage-axis
+  cumulative-sum loop of cheap (NSP, 128) VPU adds — the serial
+  dependency chain contains no matmuls at all;
 * prox algebra is re-associated so only the projection *differences*
   are materialised:  with  pre = prim + c*w,  box = pre - diff  and
-  dual = box + k*diff,  the residual is  res = (1-k)*diff - c*w  — no
-  primal/dual scratch buffers needed;
-* the whole-solve scan stays in XLA (theta sequence, warm start, early
-  termination compose unchanged); per-step data (beta/uhat/e/x0) are
-  runtime inputs, so one compilation serves the whole closed loop.
+  dual = box + k*diff,  the residual is  res = (1-k)*diff - c*w;
+* the Nesterov lambda sequence is data-independent, so it is
+  precomputed on the host and fed through SMEM; the per-iteration
+  infeasibility trace is written to an SMEM output.
 
 Use for single-device solves whose padded working set fits VMEM
-(``fits_vmem``); the XLA path remains the general/sharded fallback.
+(``fits_vmem``); the XLA path remains the general/sharded fallback and
+the early-termination path.
 """
 
 from __future__ import annotations
@@ -61,8 +70,10 @@ def _dims(fa):
 
 
 def _fan(a, NSP, P):
+    """(N, ns, p) -> flat (N*NSP, P) with zero padding."""
     a = np.asarray(a, np.float32)
-    return pad_axis(pad_axis(a, NSP, 1), P, 2)
+    a = pad_axis(pad_axis(a, NSP, 1), P, 2)
+    return a.reshape(-1, P)
 
 
 def pad_constants(fa: dict) -> dict:
@@ -123,9 +134,9 @@ def vmem_bytes(consts: dict) -> int:
     total = sum(v.nbytes for v in consts.values() if hasattr(v, "nbytes"))
     N, ns, nx, nu, nv, NSP, PX, PU, PV = consts["dims"]
     per_state = N * NSP * (2 * PX + PU) * 4
-    total += 3 * per_state                      # y, y_prev in, y out
+    total += 3 * per_state                      # y out, y_prev, w scratch
     total += N * NSP * (PX + PU) * 4            # x, u outputs
-    total += N * NSP * (2 * PX + PU + PV) * 4   # diff + v scratch
+    total += N * NSP * (2 * PX + PV + PU + PX) * 4   # t/a/v/du/x scratch
     total += N * NSP * (PV + PU + PX) * 4       # step inputs
     return total
 
@@ -134,192 +145,245 @@ def fits_vmem(consts: dict, budget: int = 96 * 1024 * 1024) -> bool:
     return vmem_bytes(consts) <= budget
 
 
-def make_pallas_iteration(consts: dict, *, inv_step, step_size,
-                          penalty_state, penalty_safety, xs_upper,
-                          interpret: bool = False):
-    """Build it(step_padded, y, y_prev, lam) -> (y_new, x, u, infeas)."""
+def nesterov_lambdas(max_iterations: int) -> np.ndarray:
+    """The data-independent extrapolation weights lam_k (f32 host calc).
+
+    theta_0 = theta_1 = 1;  lam = th1*(1/th0 - 1);
+    th1' = (sqrt(th1^4 + 4 th1^2) - th1^2)/2   (src/SmpcController.cu:
+    1519-1520 + 535-557).
+    """
+    th0 = np.float32(1.0)
+    th1 = np.float32(1.0)
+    lams = np.zeros((max_iterations, 1), np.float32)
+    for k in range(max_iterations):
+        lams[k, 0] = th1 * (np.float32(1.0) / th0 - np.float32(1.0))
+        th0 = th1
+        th1 = np.float32(0.5) * (np.sqrt(th1 ** 4 + 4 * th1 ** 2)
+                                 - th1 ** 2)
+    return lams
+
+
+def make_pallas_solve(consts: dict, *, inv_step, step_size,
+                      penalty_state, penalty_safety, xs_upper,
+                      max_iterations, interpret: bool = False):
+    """Build the fused whole-solve kernel.
+
+    Returns solve(step_padded, y0_tuple) ->
+    (y_xi1, y_xi2, y_psi, x, u, infeas_trace).
+    """
     dims = consts["dims"]
     N, ns, nx, nu, nv, NSP, PX, PU, PV = dims
     prefix_stages = consts["prefix_stages"]
-    first_prefix = prefix_stages[0] + 1 if prefix_stages else 0
-    tail_len = N - first_prefix
+    fp = prefix_stages[0] + 1 if prefix_stages else 0
+    tail = N - fp
     c = float(inv_step)
     step_size = float(step_size)
-    penalty_state = float(penalty_state)
-    penalty_safety = float(penalty_safety)
+    t1c = float(inv_step * penalty_state)
+    t2c = float(inv_step * penalty_safety)
     xs_upper = float(xs_upper)
+    f32 = jnp.float32
 
-    def kernel(lam_ref,
+    def row(s):
+        return pl.ds(s * NSP, NSP)
+
+    def kernel(lams,
                d1, d2, g, nhp, rep_x, xmin, xmax, xs, umin, umax,
                BbT, Lm, iWT, LT, BT, Cs,
                beta, uhat, e, x0, pdu,
-               yx1, yx2, yps, px1, px2, pps,
+               y0x1, y0x2, y0ps,
                o_yx1, o_yx2, o_yps, o_x, o_u, o_inf,
-               v_s, df1_s, df2_s, dfp_s):
-        lam = lam_ref[0, 0]
-
-        def w_xi1(s):
-            return (1.0 + lam) * yx1[s] - lam * px1[s]
-
-        def w_xi2(s):
-            return (1.0 + lam) * yx2[s] - lam * px2[s]
-
-        def w_psi(s):
-            return (1.0 + lam) * yps[s] - lam * pps[s]
+               px1, px2, pps, w1, w2, wp, t_s, a_s, v_s, du_s, xa_s):
 
         def dot(a, b):
-            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+            return jax.lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+                precision=lax.Precision.HIGHEST)
 
-        # ---------------- backward sweep ----------------
-        def bwd_stage(s, q, r):
-            sigma = beta[s] + r
-            t = d1[s] * w_xi1(s) + d2[s] * w_xi2(s) + q
-            inner = sigma + dot(t, BbT[:]) + dot(g[s] * w_psi(s), Lm[:])
-            v_s[s] = nhp[s] * dot(inner, iWT[:])
-            return t, inner
+        o_yx1[...] = y0x1[...]
+        o_yx2[...] = y0x2[...]
+        o_yps[...] = y0ps[...]
+        px1[...] = y0x1[...]
+        px2[...] = y0x2[...]
+        pps[...] = y0ps[...]
 
-        def bwd_body(i, carry):
-            q, r = carry
-            return bwd_stage(N - 1 - i, q, r)
+        def iteration(it, _):
+            lam = lams[it, 0]
+            # ---- dual extrapolation  w = (1+lam) y - lam y_prev ----
+            w1[...] = (1.0 + lam) * o_yx1[...] - lam * px1[...]
+            w2[...] = (1.0 + lam) * o_yx2[...] - lam * px2[...]
+            wp[...] = (1.0 + lam) * o_yps[...] - lam * pps[...]
 
-        q = jnp.zeros((NSP, PX), jnp.float32)
-        r = jnp.zeros((NSP, PV), jnp.float32)
-        q, r = lax.fori_loop(0, tail_len, bwd_body, (q, r))
-        # branching prefix, unrolled with aggregation matmuls
-        for s in range(first_prefix - 1, -1, -1):
-            q, r = bwd_stage(s, q, r)
-            if s > 0 and s in prefix_stages:
-                C = Cs[prefix_stages.index(s)]
-                q = dot(C, q)
-                r = dot(C, r)
+            # ---- backward sweep (batched matmuls + suffix cumsums) --
+            t_s[...] = d1[...] * w1[...] + d2[...] * w2[...]
+            a_s[...] = beta[...] + dot(g[...] * wp[...], Lm[...])
 
-        # ---------------- forward sweep + prox diffs ----------------
-        def fwd_body(s, carry):
-            du, xc, s1, s2 = carry
-            u = uhat[s] + dot(v_s[s], LT[:]) + du
-            x = xc + e[s] + dot(u, BT[:])
-            o_u[s] = u
-            o_x[s] = x
-            pre1 = d1[s] * x + c * w_xi1(s)
-            pre2 = d2[s] * x + c * w_xi2(s)
-            prep = g[s] * u + c * w_psi(s)
-            dfa = pre1 - jnp.clip(pre1, xmin[s], xmax[s])
-            dfb = pre2 - jnp.clip(pre2, xs[s], xs_upper)
-            dfp = prep - jnp.clip(prep, umin[s], umax[s])
-            df1_s[s] = dfa
-            df2_s[s] = dfb
-            dfp_s[s] = dfp
-            s1 = s1 + jnp.sum(rep_x[s] * dfa * dfa)
-            s2 = s2 + jnp.sum(rep_x[s] * dfb * dfb)
-            return (u - uhat[s], x, s1, s2)
+            def cums_t(i, _):
+                s = N - 2 - i
+                t_s[row(s)] = t_s[row(s)] + t_s[row(s + 1)]
+                return 0
 
-        du0 = jnp.broadcast_to(pdu[0], (NSP, PU))
-        xc0 = jnp.broadcast_to(x0[0], (NSP, PX))
-        _, _, s1, s2 = lax.fori_loop(
-            0, N, fwd_body, (du0, xc0, jnp.float32(0.0), jnp.float32(0.0)))
+            lax.fori_loop(0, max(tail - 1, 0), cums_t, 0)
+            a_s[...] = a_s[...] + dot(t_s[...], BbT[...])
 
-        # global penalty shrinks (src/SmpcController.cu:793-814)
-        dist1 = jnp.sqrt(s1)
-        dist2 = jnp.sqrt(s2)
-        t1 = c * penalty_state
-        t2 = c * penalty_safety
-        k1 = jnp.where(dist1 > t1, 1.0 - t1 / jnp.maximum(dist1, 1e-30),
-                       0.0)
-        k2 = jnp.where(dist2 > t2, 1.0 - t2 / jnp.maximum(dist2, 1e-30),
-                       0.0)
+            def cums_a(i, _):
+                s = N - 2 - i
+                a_s[row(s)] = a_s[row(s)] + a_s[row(s + 1)]
+                return 0
 
-        # -------- residual + dual update + infeasibility --------
-        def signed_maxabs(a):
-            hi = jnp.max(a)
-            lo = jnp.min(a)
-            return jnp.where(hi > -lo, hi, lo)
+            lax.fori_loop(0, max(tail - 1, 0), cums_a, 0)
+            v_s[...] = nhp[...] * dot(a_s[...], iWT[...])
 
-        def upd(best, cand):
-            babs, bval = best
-            cval = signed_maxabs(cand)
-            cabs = jnp.abs(cval)
-            return (jnp.maximum(babs, cabs),
-                    jnp.where(cabs > babs, cval, bval))
+            # branching prefix, unrolled, with aggregation matmuls
+            if fp > 0:
+                if tail > 0:
+                    q = t_s[row(fp)]
+                    r = a_s[row(fp)]
+                else:
+                    q = jnp.zeros((NSP, PX), f32)
+                    r = jnp.zeros((NSP, PV), f32)
+                for s in range(fp - 1, -1, -1):
+                    t = d1[row(s)] * w1[row(s)] + d2[row(s)] * w2[row(s)] + q
+                    inner = (beta[row(s)] + r + dot(t, BbT[...]) +
+                             dot(g[row(s)] * wp[row(s)], Lm[...]))
+                    v_s[row(s)] = nhp[row(s)] * dot(inner, iWT[...])
+                    q, r = t, inner
+                    if s > 0 and s in prefix_stages:
+                        C = Cs[prefix_stages.index(s)]
+                        q = dot(C, q)
+                        r = dot(C, r)
 
-        def fin_body(s, carry):
-            bx, bp = carry
-            r1 = (1.0 - k1) * df1_s[s] - c * w_xi1(s)
-            r2 = (1.0 - k2) * df2_s[s] - c * w_xi2(s)
-            rp = dfp_s[s] - c * w_psi(s)
-            o_yx1[s] = w_xi1(s) + step_size * r1
-            o_yx2[s] = w_xi2(s) + step_size * r2
-            o_yps[s] = w_psi(s) + step_size * rp
-            bx = upd(upd(bx, r1), r2)
-            bp = upd(bp, rp)
-            return bx, bp
+            # ---- forward sweep (batched matmuls + prefix cumsums) ---
+            du_s[...] = dot(v_s[...], LT[...])
 
-        init = ((jnp.float32(-1.0), jnp.float32(0.0)),
-                (jnp.float32(-1.0), jnp.float32(0.0)))
-        (_, vx), (_, vp) = lax.fori_loop(0, N, fin_body, init)
-        o_inf[0, 0] = jnp.maximum(vx, vp)
+            def cums_du(s, _):
+                du_s[row(s)] = du_s[row(s)] + du_s[row(s - 1)]
+                return 0
+
+            lax.fori_loop(1, N, cums_du, 0)
+            o_u[...] = uhat[...] + du_s[...] + pdu[...]
+            xa_s[...] = e[...] + dot(o_u[...], BT[...])
+
+            def cums_x(s, _):
+                xa_s[row(s)] = xa_s[row(s)] + xa_s[row(s - 1)]
+                return 0
+
+            lax.fori_loop(1, N, cums_x, 0)
+            o_x[...] = xa_s[...] + x0[...]
+
+            # ---- prox of g: projection diffs + global penalty norms --
+            pre1 = d1[...] * o_x[...] + c * w1[...]
+            df1 = pre1 - jnp.clip(pre1, xmin[...], xmax[...])
+            pre2 = d2[...] * o_x[...] + c * w2[...]
+            df2 = pre2 - jnp.clip(pre2, xs[...], xs_upper)
+            prep = g[...] * o_u[...] + c * wp[...]
+            dfp = prep - jnp.clip(prep, umin[...], umax[...])
+            s1 = jnp.sum(rep_x[...] * df1 * df1)
+            s2 = jnp.sum(rep_x[...] * df2 * df2)
+            dist1 = jnp.sqrt(s1)
+            dist2 = jnp.sqrt(s2)
+            k1 = jnp.where(dist1 > t1c,
+                           1.0 - t1c / jnp.maximum(dist1, 1e-30), 0.0)
+            k2 = jnp.where(dist2 > t2c,
+                           1.0 - t2c / jnp.maximum(dist2, 1e-30), 0.0)
+
+            # ---- residual, dual update, infeasibility ----
+            r1 = (1.0 - k1) * df1 - c * w1[...]
+            r2 = (1.0 - k2) * df2 - c * w2[...]
+            rp = dfp - c * wp[...]
+            px1[...] = o_yx1[...]
+            px2[...] = o_yx2[...]
+            pps[...] = o_yps[...]
+            o_yx1[...] = w1[...] + step_size * r1
+            o_yx2[...] = w2[...] + step_size * r2
+            o_yps[...] = wp[...] + step_size * rp
+
+            def signed_maxabs(a):
+                hi = jnp.max(a)
+                lo = jnp.min(a)
+                return jnp.where(hi > -lo, hi, lo)
+
+            def upd(best, cand):
+                babs, bval = best
+                cval = signed_maxabs(cand)
+                cabs = jnp.abs(cval)
+                return (jnp.maximum(babs, cabs),
+                        jnp.where(cabs > babs, cval, bval))
+
+            bx = upd(upd((f32(-1.0), f32(0.0)), r1), r2)
+            bp = upd((f32(-1.0), f32(0.0)), rp)
+            o_inf[it, 0] = jnp.maximum(bx[1], bp[1])
+            return 0
+
+        lax.fori_loop(0, max_iterations, iteration, 0)
 
     const_arrays = tuple(jnp.asarray(consts[k]) for k in CONST_NAMES)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    f32 = jnp.float32
 
+    NR = N * NSP
     out_shape = (
-        jax.ShapeDtypeStruct((N, NSP, PX), f32),   # y_xi1
-        jax.ShapeDtypeStruct((N, NSP, PX), f32),   # y_xi2
-        jax.ShapeDtypeStruct((N, NSP, PU), f32),   # y_psi
-        jax.ShapeDtypeStruct((N, NSP, PX), f32),   # x
-        jax.ShapeDtypeStruct((N, NSP, PU), f32),   # u
-        jax.ShapeDtypeStruct((1, 1), f32),         # infeas
+        jax.ShapeDtypeStruct((NR, PX), f32),   # y_xi1
+        jax.ShapeDtypeStruct((NR, PX), f32),   # y_xi2
+        jax.ShapeDtypeStruct((NR, PU), f32),   # y_psi
+        jax.ShapeDtypeStruct((NR, PX), f32),   # x
+        jax.ShapeDtypeStruct((NR, PU), f32),   # u
+        jax.ShapeDtypeStruct((max_iterations, 1), f32),   # infeas trace
     )
     scratch = [
-        pltpu.VMEM((N, NSP, PV), f32),   # v
-        pltpu.VMEM((N, NSP, PX), f32),   # diff1
-        pltpu.VMEM((N, NSP, PX), f32),   # diff2
-        pltpu.VMEM((N, NSP, PU), f32),   # diffp
+        pltpu.VMEM((NR, PX), f32),   # y_prev xi1
+        pltpu.VMEM((NR, PX), f32),   # y_prev xi2
+        pltpu.VMEM((NR, PU), f32),   # y_prev psi
+        pltpu.VMEM((NR, PX), f32),   # w xi1
+        pltpu.VMEM((NR, PX), f32),   # w xi2
+        pltpu.VMEM((NR, PU), f32),   # w psi
+        pltpu.VMEM((NR, PX), f32),   # t
+        pltpu.VMEM((NR, PV), f32),   # a (inner)
+        pltpu.VMEM((NR, PV), f32),   # v
+        pltpu.VMEM((NR, PU), f32),   # du
+        pltpu.VMEM((NR, PX), f32),   # x accum
     ]
-    n_in = 1 + len(CONST_NAMES) + len(STEP_NAMES) + 6
+    n_in = 1 + len(CONST_NAMES) + len(STEP_NAMES) + 3
     call = pl.pallas_call(
         kernel,
         out_shape=out_shape,
         in_specs=[smem] + [vmem] * (n_in - 1),
-        out_specs=(vmem,) * 6,
+        out_specs=(vmem,) * 5 + (smem,),
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
+            vmem_limit_bytes=120 * 1024 * 1024),
     )
+    lams = jnp.asarray(nesterov_lambdas(max_iterations))
 
-    def it(step_p, y, y_prev, lam):
-        lam2d = jnp.asarray(lam, f32).reshape(1, 1)
-        outs = call(lam2d, *const_arrays,
-                    *(step_p[k] for k in STEP_NAMES),
-                    y["xi1"], y["xi2"], y["psi"],
-                    y_prev["xi1"], y_prev["xi2"], y_prev["psi"])
-        y_new = {"xi1": outs[0], "xi2": outs[1], "psi": outs[2]}
-        return y_new, outs[3], outs[4], outs[5][0, 0]
+    def solve(step_p, y0):
+        return call(lams, *const_arrays,
+                    *(step_p[k] for k in STEP_NAMES), *y0)
 
-    return it
+    return solve
 
 
 def make_apg_pallas(fa: dict, *, inv_step, step_size, penalty_state,
                     penalty_safety, xs_upper, max_iterations,
                     project_control: bool = True,
                     interpret: bool = False):
-    """Full APG solve on the fused iteration kernel.
+    """Full APG solve on the fused whole-solve kernel.
 
     Returns (run, pad_step_fn):
       run(step_padded, y0=None) -> outputs dict (jitted once; reuse
-        across control steps)
+        across control steps).  y0 is an optional padded dual warm
+        start {"xi1", "xi2", "psi"} (each (N, NSP, P)).
       pad_step_fn(step) -> padded runtime inputs for run.
     """
     consts = pad_constants(fa)
     dims = consts["dims"]
     N, ns, nx, nu, nv, NSP, PX, PU, PV = dims
-    it = make_pallas_iteration(
+    solve = make_pallas_solve(
         consts, inv_step=inv_step, step_size=step_size,
         penalty_state=penalty_state, penalty_safety=penalty_safety,
-        xs_upper=xs_upper, interpret=interpret)
+        xs_upper=xs_upper, max_iterations=max_iterations,
+        interpret=interpret)
     umin00 = jnp.asarray(np.asarray(fa["umin"])[0, 0])
     umax00 = jnp.asarray(np.asarray(fa["umax"])[0, 0])
 
@@ -330,25 +394,20 @@ def make_apg_pallas(fa: dict, *, inv_step, step_size, penalty_state,
             y0 = {"xi1": jnp.zeros((N, NSP, PX), f32),
                   "xi2": jnp.zeros((N, NSP, PX), f32),
                   "psi": jnp.zeros((N, NSP, PU), f32)}
-
-        def body(carry, _):
-            y, y_prev, th0, th1, _, _ = carry
-            lam = th1 * (1.0 / th0 - 1.0)
-            y_new, x, u, inf = it(step_p, y, y_prev, lam)
-            th1n = 0.5 * (jnp.sqrt(th1 ** 4 + 4 * th1 ** 2) - th1 ** 2)
-            return (y_new, y, th1, th1n, x, u), inf
-
-        f32z = jnp.zeros
-        carry0 = (y0, y0, jnp.float32(1.0), jnp.float32(1.0),
-                  f32z((N, NSP, PX), f32), f32z((N, NSP, PU), f32))
-        (y, _, _, _, x, u), infs = lax.scan(
-            body, carry0, None, length=max_iterations)
+        y0t = (y0["xi1"].reshape(-1, PX), y0["xi2"].reshape(-1, PX),
+               y0["psi"].reshape(-1, PU))
+        yx1, yx2, yps, x, u, infs = solve(step_p, y0t)
+        x = x.reshape(N, NSP, PX)
+        u = u.reshape(N, NSP, PU)
         u0 = u[0, 0, :nu]
         if project_control:
             u0 = jnp.clip(u0, umin00, umax00)
         return {"control": u0,
                 "x": x[:, :ns, :nx], "u": u[:, :ns, :nu],
-                "y": y, "primal_infeasibility": infs,
+                "y": {"xi1": yx1.reshape(N, NSP, PX),
+                      "xi2": yx2.reshape(N, NSP, PX),
+                      "psi": yps.reshape(N, NSP, PU)},
+                "primal_infeasibility": infs[:, 0],
                 "iterations": jnp.int32(max_iterations)}
 
     return run, lambda step: pad_step(step, dims)

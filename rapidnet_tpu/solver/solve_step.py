@@ -46,10 +46,35 @@ def _mm(a, b):
     return jnp.matmul(a, b, precision=MM_PRECISION)
 
 
+def _rev_cumsum(a):
+    """Reverse (suffix) inclusive cumulative sum along the stage axis.
+
+    Implements the sequential tail recursions as one data-parallel op:
+    on TPU ``lax.cumsum`` lowers to a log-depth scan, so the stage
+    dependency chain costs O(log N) vector adds instead of N sequential
+    per-stage kernels.
+    """
+    return lax.cumsum(a, axis=0, reverse=True)
+
+
 def backward_sweep(fa: dict, w_xi: jnp.ndarray, w_psi: jnp.ndarray,
                    beta: jnp.ndarray, *, prefix_stages: tuple,
                    axis_name: str | None = None) -> jnp.ndarray:
     """Backward substitution: dual gradient recursion over stages N-1..0.
+
+    The reference sweeps stages serially with ~10 batched cuBLAS calls
+    per stage (src/SmpcController.cu:593-672).  In fan layout the
+    non-branching tail recursion is *affine with stage-invariant
+    matrices*:
+
+        t_s     = tb_s + t_{s+1}                 (tb from duals only)
+        inner_s = (beta_s + h_s + t_s Bb') + inner_{s+1}
+        v_s     = nhp_s * inner_s invWbar'
+
+    so the whole tail collapses to two batched (N*ns, k)@(k, m) matmuls
+    and two stage-axis cumulative sums — no sequential matmul chain.
+    Only the short branching prefix (<= final branching stage) is
+    unrolled, with dense one-hot child->parent aggregation matmuls.
 
     Args:
       fa: factor arrays (fan layout slices d1/d2/g/nhp + shared Bb/L/invWbar).
@@ -73,27 +98,24 @@ def backward_sweep(fa: dict, w_xi: jnp.ndarray, w_psi: jnp.ndarray,
         return t, inner, v
 
     first_prefix = prefix_stages[0] + 1 if prefix_stages else 0
-
-    def tail_slice(a):
-        return a[first_prefix:]
-
-    def body(carry, xs):
-        q, r = carry
-        t, inner, v = stage_math(q, r, xs)
-        return (t, inner), v
-
+    N = w_xi.shape[0]
     ns = w_xi.shape[1]
     nv = invWbar.shape[0]
-    q0 = jnp.zeros((ns, nx), w_xi.dtype)
-    r0 = jnp.zeros((ns, nv), w_xi.dtype)
 
-    tail_xs = tuple(tail_slice(a) for a in
-                    (fa["d1"], fa["d2"], fa["g"], fa["nhp"], beta,
-                     w_xi, w_psi))
-    (q, r), v_tail = lax.scan(body, (q0, r0), tail_xs, reverse=True,
-                              unroll=min(STAGE_UNROLL,
-                                         max(w_xi.shape[0] - first_prefix,
-                                             1)))
+    if first_prefix < N:
+        # --- batched tail: precompute dual-only terms over all stages
+        tb = (fa["d1"][first_prefix:] * w_xi[first_prefix:, ..., :nx] +
+              fa["d2"][first_prefix:] * w_xi[first_prefix:, ..., nx:])
+        h = _mm(fa["g"][first_prefix:] * w_psi[first_prefix:], L)
+        t_tail = _rev_cumsum(tb)
+        a_tail = beta[first_prefix:] + h + _mm(t_tail, Bb.T)
+        inner_tail = _rev_cumsum(a_tail)
+        v_tail = fa["nhp"][first_prefix:] * _mm(inner_tail, invWbar.T)
+        q, r = t_tail[0], inner_tail[0]
+    else:
+        v_tail = jnp.zeros((0, ns, nv), w_xi.dtype)
+        q = jnp.zeros((ns, nx), w_xi.dtype)
+        r = jnp.zeros((ns, nv), w_xi.dtype)
 
     # unrolled branching prefix with MXU aggregation matmuls
     v_prefix = []
@@ -130,23 +152,16 @@ def forward_sweep(fa: dict, v: jnp.ndarray, uhat: jnp.ndarray,
     Returns x (N,ns,nx), u (N,ns,nu), prim_xi (N,ns,2nx), prim_psi (N,ns,nu).
     """
     L, B = fa["L"], fa["B"]
-    ns = v.shape[1]
 
-    du0 = jnp.broadcast_to(prev_u - prev_uhat, (ns,) + prev_u.shape)
-    xc0 = jnp.broadcast_to(x0, (ns,) + x0.shape)
-
-    def body(carry, xs):
-        du, xc = carry
-        v_s, uhat_s, e_s, d1, d2, g = xs
-        u = uhat_s + _mm(v_s, L.T) + du
-        x = xc + e_s + _mm(u, B.T)
-        prim_xi = jnp.concatenate([d1 * x, d2 * x], axis=-1)
-        prim_psi = g * u
-        return (u - uhat_s, x), (x, u, prim_xi, prim_psi)
-
-    xs = (v, uhat, e, fa["d1"], fa["d2"], fa["g"])
-    _, (x, u, prim_xi, prim_psi) = lax.scan(
-        body, (du0, xc0), xs, unroll=min(STAGE_UNROLL, v.shape[0]))
+    # du_s = u_s - uhat_s satisfies du_s = v_s L' + du_{s-1}: an
+    # inclusive stage cumsum of the (batched) v L' matmul.  Likewise
+    # x_s = x_{s-1} + e_s + u_s B' is a cumsum of e + u B'.  Two big
+    # matmuls + two log-depth cumsums replace the serial stage loop.
+    du = lax.cumsum(_mm(v, L.T), axis=0) + (prev_u - prev_uhat)
+    u = uhat + du
+    x = lax.cumsum(e + _mm(u, B.T), axis=0) + x0
+    prim_xi = jnp.concatenate([fa["d1"] * x, fa["d2"] * x], axis=-1)
+    prim_psi = fa["g"] * u
     return x, u, prim_xi, prim_psi
 
 
