@@ -62,27 +62,41 @@ def measure(repeats=REPEATS):
     from rapidnet_tpu.solver import apg as apg_mod
 
     cfg, eng, fa, make_step, tree = build_problem()
-    run = jax.jit(apg_mod.make_apg(
-        prefix_stages=eng.factor_step().prefix_stages,
+    kw = dict(
         inv_step=1.0 / cfg.step_size, step_size=cfg.step_size,
         penalty_state=cfg.penalty_state, penalty_safety=cfg.penalty_safety,
-        xs_upper=float(XS_UPPER), max_iterations=MAX_ITER))
-    # warmup/compile
+        xs_upper=float(XS_UPPER), max_iterations=MAX_ITER)
+    run_xla = jax.jit(apg_mod.make_apg(
+        prefix_stages=eng.factor_step().prefix_stages, **kw))
+    candidates = {"xla": lambda step: run_xla(fa, step)}
+    on_tpu = jax.default_backend() != "cpu"
+    if on_tpu:
+        # the fused whole-solve Pallas kernel (single-kernel solve)
+        from rapidnet_tpu.ops import pallas_apg
+        if pallas_apg.fits_vmem(pallas_apg.pad_constants(fa)):
+            candidates["pallas"] = pallas_apg.make_apg_pallas(fa, **kw)
+
     rng = np.random.default_rng(7)
     x0 = cfg.current_x
-    out = jax.block_until_ready(run(fa, make_step(x0)))
-    final_inf = float(np.abs(
-        np.asarray(out["primal_infeasibility"])[-10:]).mean())
-    times = []
-    for _ in range(repeats):
-        # perturb the state so every solve is a distinct computation
-        xr = x0 * (1.0 + 0.02 * rng.standard_normal(x0.shape)
-                   ).astype(np.float32)
-        step = make_step(xr)
-        t0 = time.perf_counter()
-        out = jax.block_until_ready(run(fa, step))
-        times.append(time.perf_counter() - t0)
-    p50 = float(np.median(times))
+
+    def time_path(run):
+        out = jax.block_until_ready(run(make_step(x0)))   # warmup/compile
+        final_inf = float(np.abs(
+            np.asarray(out["primal_infeasibility"])[-10:]).mean())
+        times = []
+        for _ in range(repeats):
+            # perturb the state so every solve is distinct computation
+            xr = x0 * (1.0 + 0.02 * rng.standard_normal(x0.shape)
+                       ).astype(np.float32)
+            step = make_step(xr)
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(step))
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times)), final_inf
+
+    results = {name: time_path(run) for name, run in candidates.items()}
+    best = min(results, key=lambda k: results[k][0])
+    p50, final_inf = results[best]
     return {
         "p50_s": p50,
         "solves_per_s": 1.0 / p50,
@@ -90,6 +104,8 @@ def measure(repeats=REPEATS):
         "scenarios": int(tree.ns),
         "final_infeasibility": final_inf,
         "backend": jax.default_backend(),
+        "solver_path": best,
+        "paths_ms": {k: round(v[0] * 1e3, 3) for k, v in results.items()},
     }
 
 
@@ -106,7 +122,8 @@ def main():
     print(f"[bench] backend={res['backend']} p50={res['p50_s']*1e3:.2f} ms "
           f"({res['solves_per_s']:.2f} solves/s, "
           f"{res['tree_nodes']}-node tree, {MAX_ITER} APG iters, "
-          f"final infeasibility {res['final_infeasibility']:.3e})",
+          f"final infeasibility {res['final_infeasibility']:.3e}, "
+          f"path={res['solver_path']} {res['paths_ms']})",
           file=sys.stderr)
 
     vs_baseline = 1.0

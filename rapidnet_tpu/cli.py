@@ -37,6 +37,10 @@ def main(argv=None):
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force a jax platform (overrides any "
                         "environment/site pinning)")
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "xla", "pallas"],
+                   help="solver backend: fused whole-solve Pallas "
+                        "kernel or the general XLA path (auto picks)")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -45,7 +49,7 @@ def main(argv=None):
 
     from rapidnet_tpu.solver.controller import SmpcController
 
-    ctrl = SmpcController(args.config)
+    ctrl = SmpcController(args.config, backend=args.backend)
     if args.no_price_uncertainty:
         ctrl.engine.price_uncertainty = False
     if args.no_demand_uncertainty:

@@ -116,17 +116,28 @@ def pad_constants(fa: dict) -> dict:
 
 
 def pad_step(step: dict, dims) -> dict:
-    """Padded per-control-step arrays (runtime inputs)."""
+    """Padded per-control-step arrays (device-side, jit-traceable).
+
+    Takes the standard solver step dict (same as the XLA path) so one
+    padding implementation serves eager callers and the jitted run.
+    """
     N, ns, nx, nu, nv, NSP, PX, PU, PV = dims
+
+    def fan(a, P):
+        a = jnp.asarray(a, jnp.float32)
+        a = jnp.pad(a, ((0, 0), (0, NSP - a.shape[1]),
+                        (0, P - a.shape[2])))
+        return a.reshape(-1, P)
+
+    x0 = jnp.asarray(step["x0"], jnp.float32)[None]
+    pdu = (jnp.asarray(step["prev_u"], jnp.float32) -
+           jnp.asarray(step["prev_uhat"], jnp.float32))[None]
     return {
-        "beta": jnp.asarray(_fan(step["beta"], NSP, PV)),
-        "uhat": jnp.asarray(_fan(step["uhat"], NSP, PU)),
-        "e": jnp.asarray(_fan(step["e"], NSP, PX)),
-        "x0": jnp.asarray(pad_axis(
-            np.asarray(step["x0"], np.float32)[None], PX, 1)),
-        "pdu": jnp.asarray(pad_axis(
-            np.asarray(step["prev_u"], np.float32)[None] -
-            np.asarray(step["prev_uhat"], np.float32)[None], PU, 1)),
+        "beta": fan(step["beta"], PV),
+        "uhat": fan(step["uhat"], PU),
+        "e": fan(step["e"], PX),
+        "x0": jnp.pad(x0, ((0, 0), (0, PX - x0.shape[1]))),
+        "pdu": jnp.pad(pdu, ((0, 0), (0, PU - pdu.shape[1]))),
     }
 
 
@@ -317,8 +328,6 @@ def make_pallas_solve(consts: dict, *, inv_step, step_size,
 
         lax.fori_loop(0, max_iterations, iteration, 0)
 
-    const_arrays = tuple(jnp.asarray(consts[k]) for k in CONST_NAMES)
-
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
@@ -357,7 +366,7 @@ def make_pallas_solve(consts: dict, *, inv_step, step_size,
     )
     lams = jnp.asarray(nesterov_lambdas(max_iterations))
 
-    def solve(step_p, y0):
+    def solve(const_arrays, step_p, y0):
         return call(lams, *const_arrays,
                     *(step_p[k] for k in STEP_NAMES), *y0)
 
@@ -367,15 +376,19 @@ def make_pallas_solve(consts: dict, *, inv_step, step_size,
 def make_apg_pallas(fa: dict, *, inv_step, step_size, penalty_state,
                     penalty_safety, xs_upper, max_iterations,
                     project_control: bool = True,
-                    interpret: bool = False):
+                    interpret: bool | str = "auto"):
     """Full APG solve on the fused whole-solve kernel.
 
-    Returns (run, pad_step_fn):
-      run(step_padded, y0=None) -> outputs dict (jitted once; reuse
-        across control steps).  y0 is an optional padded dual warm
-        start {"xi1", "xi2", "psi"} (each (N, NSP, P)).
-      pad_step_fn(step) -> padded runtime inputs for run.
+    Returns run(step, y0=None) -> outputs dict, where ``step`` is the
+    standard solver step dict (same as the XLA path; padding happens
+    device-side inside the jit).  y0 is an optional padded dual warm
+    start {"xi1", "xi2", "psi"} (each (N, NSP, P)) as returned in
+    out["y"] — pass the previous solve's out["y"] for receding-horizon
+    warm starting.  Compiled once; reuse across control steps.
     """
+    if interpret == "auto":
+        # interpret mode lets the same code path run on CPU (tests, dev)
+        interpret = jax.devices()[0].platform == "cpu"
     consts = pad_constants(fa)
     dims = consts["dims"]
     N, ns, nx, nu, nv, NSP, PX, PU, PV = dims
@@ -386,17 +399,17 @@ def make_apg_pallas(fa: dict, *, inv_step, step_size, penalty_state,
         interpret=interpret)
     umin00 = jnp.asarray(np.asarray(fa["umin"])[0, 0])
     umax00 = jnp.asarray(np.asarray(fa["umax"])[0, 0])
+    # Constants live on device as explicit arguments (NOT jit-baked
+    # literals): baked literals are re-shipped with every execute on
+    # remote-device transports, costing a fixed ~tens-of-ms per solve.
+    const_device = tuple(jnp.asarray(consts[k]) for k in CONST_NAMES)
 
     @jax.jit
-    def run(step_p, y0=None):
-        f32 = jnp.float32
-        if y0 is None:
-            y0 = {"xi1": jnp.zeros((N, NSP, PX), f32),
-                  "xi2": jnp.zeros((N, NSP, PX), f32),
-                  "psi": jnp.zeros((N, NSP, PU), f32)}
+    def run_impl(const_arrays, step, y0):
+        step_p = pad_step(step, dims)
         y0t = (y0["xi1"].reshape(-1, PX), y0["xi2"].reshape(-1, PX),
                y0["psi"].reshape(-1, PU))
-        yx1, yx2, yps, x, u, infs = solve(step_p, y0t)
+        yx1, yx2, yps, x, u, infs = solve(const_arrays, step_p, y0t)
         x = x.reshape(N, NSP, PX)
         u = u.reshape(N, NSP, PU)
         u0 = u[0, 0, :nu]
@@ -410,4 +423,13 @@ def make_apg_pallas(fa: dict, *, inv_step, step_size, penalty_state,
                 "primal_infeasibility": infs[:, 0],
                 "iterations": jnp.int32(max_iterations)}
 
-    return run, lambda step: pad_step(step, dims)
+    def run(step, y0=None):
+        """step: the standard solver step dict (as for the XLA path)."""
+        if y0 is None:
+            f32 = jnp.float32
+            y0 = {"xi1": jnp.zeros((N, NSP, PX), f32),
+                  "xi2": jnp.zeros((N, NSP, PX), f32),
+                  "psi": jnp.zeros((N, NSP, PU), f32)}
+        return run_impl(const_device, step, y0)
+
+    return run

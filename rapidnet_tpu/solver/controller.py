@@ -79,9 +79,18 @@ class SmpcController:
                  tree: Optional[ScenarioTree] = None,
                  forecaster: Optional[Forecaster] = None,
                  warm_start: bool = False,
-                 tolerance: Optional[float] = None):
+                 tolerance: Optional[float] = None,
+                 backend: str = "auto"):
+        """backend: 'auto' | 'xla' | 'pallas'.  'auto' picks the fused
+        whole-solve Pallas kernel (ops/pallas_apg.py) for fixed-budget
+        APG solves on a TPU whose padded working set fits VMEM, and the
+        general XLA path otherwise."""
         if isinstance(config, str):
             config = SmpcConfig.from_json(config)
+        if backend not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown backend '{backend}'")
+        self.backend = backend
+        self._use_pallas = False
         self.warm_start = warm_start
         self.tolerance = tolerance
         self._y_carry = None
@@ -113,6 +122,19 @@ class SmpcController:
         initialiseSmpcController, src/SmpcController.cu:476-487)."""
         self._fa = _factor_arrays(self.engine)
         cfg = self.config
+        if cfg.algorithm == ALGORITHM_APG and self.backend != "xla":
+            self._use_pallas = self._pick_pallas()
+        if self._use_pallas:
+            from rapidnet_tpu.ops import pallas_apg
+            self._solver = pallas_apg.make_apg_pallas(
+                self._fa,
+                inv_step=float(1.0 / cfg.step_size),
+                step_size=float(cfg.step_size),
+                penalty_state=float(cfg.penalty_state),
+                penalty_safety=float(cfg.penalty_safety),
+                xs_upper=float(XS_UPPER),
+                max_iterations=int(cfg.max_iterations))
+            return
         if cfg.algorithm == ALGORITHM_APG:
             run = apg_mod.make_apg(
                 prefix_stages=self.engine.factor_step().prefix_stages,
@@ -139,6 +161,22 @@ class SmpcController:
             raise ValueError(f"unknown algorithm '{cfg.algorithm}'")
         self._solver = jax.jit(run)
 
+    def _pick_pallas(self) -> bool:
+        """Auto/forced selection of the fused Pallas solve kernel."""
+        from rapidnet_tpu.ops import pallas_apg
+        if self.tolerance is not None:
+            # early termination runs on the XLA while_loop path
+            if self.backend == "pallas":
+                raise ValueError(
+                    "backend='pallas' does not support tolerance-based "
+                    "early termination; use backend='xla'")
+            return False
+        if self.backend == "pallas":
+            return True
+        on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+        return on_tpu and pallas_apg.fits_vmem(
+            pallas_apg.pad_constants(self._fa))
+
     # ------------------------------------------------------------------
     def prepare_step(self, sim_time: int) -> dict:
         """Forecast + disturbance elimination for one control step."""
@@ -158,7 +196,10 @@ class SmpcController:
             self.initialise()
         step = self.prepare_step(sim_time)
         t0 = time.perf_counter()
-        if self.config.algorithm == ALGORITHM_APG:
+        if self._use_pallas:
+            y0 = self._y_carry if self.warm_start else None
+            out = self._solver(step, y0)
+        elif self.config.algorithm == ALGORITHM_APG:
             if self.warm_start:
                 if self._y_carry is None:
                     # zero warm start keeps the jit signature stable

@@ -52,3 +52,38 @@ def test_closed_loop_synthetic():
         u = np.asarray(log[f"control{t}"])
         assert np.isfinite(u).all()
     assert np.isfinite(ctrl.config.current_x).all()
+
+
+@requires_reference
+def test_closed_loop_pallas_backend_matches_xla(ref_problem):
+    """backend='pallas' (fused whole-solve kernel, interpret on CPU)
+    produces the same closed-loop controls as the XLA path."""
+    from rapidnet_tpu.solver.controller import SmpcController
+
+    logs = []
+    for backend in ("xla", "pallas"):
+        cfg = copy.deepcopy(ref_problem["config"])
+        cfg.max_iterations = 40
+        fc = copy.deepcopy(ref_problem["forecaster"])
+        ctrl = SmpcController(cfg, network=ref_problem["network"],
+                              tree=ref_problem["tree"], forecaster=fc,
+                              backend=backend)
+        log = ctrl.closed_loop(steps=2)
+        logs.append(log)
+    for t in range(2):
+        a = np.asarray(logs[0][f"control{t}"])
+        b = np.asarray(logs[1][f"control{t}"])
+        np.testing.assert_allclose(a, b, rtol=1e-4,
+                                   atol=1e-4 * max(np.abs(a).max(), 1.0))
+
+
+@requires_reference
+def test_pallas_backend_rejects_tolerance(ref_problem):
+    from rapidnet_tpu.solver.controller import SmpcController
+    cfg = copy.deepcopy(ref_problem["config"])
+    ctrl = SmpcController(cfg, network=ref_problem["network"],
+                          tree=ref_problem["tree"],
+                          forecaster=ref_problem["forecaster"],
+                          backend="pallas", tolerance=1e-4)
+    with pytest.raises(ValueError, match="early termination"):
+        ctrl.initialise()

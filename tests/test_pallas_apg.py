@@ -40,8 +40,8 @@ def test_pallas_matches_xla_synthetic():
     ref = jax.jit(apg_mod.make_apg(
         prefix_stages=eng.factor_step().prefix_stages, **kw))(fa, step,
                                                               None)
-    run, padf = pallas_apg.make_apg_pallas(fa, interpret=True, **kw)
-    out = run(padf(step))
+    run = pallas_apg.make_apg_pallas(fa, interpret=True, **kw)
+    out = run(step)
     np.testing.assert_allclose(np.asarray(out["control"]),
                                np.asarray(ref["control"]),
                                rtol=1e-5, atol=1e-5)
@@ -69,8 +69,8 @@ def test_pallas_matches_xla_reference_problem(ref_problem, ref_engine):
     ref = jax.jit(apg_mod.make_apg(
         prefix_stages=ref_engine.factor_step().prefix_stages, **kw))(
             fa, step, None)
-    run, padf = pallas_apg.make_apg_pallas(fa, interpret=True, **kw)
-    out = run(padf(step))
+    run = pallas_apg.make_apg_pallas(fa, interpret=True, **kw)
+    out = run(step)
     scale = np.abs(np.asarray(ref["u"])).max()
     np.testing.assert_allclose(np.asarray(out["u"]), np.asarray(ref["u"]),
                                atol=2e-3 * scale)
