@@ -74,8 +74,6 @@ def config_to_json(cfg, path, *, network_path="network.json",
     doc = {
         "nx": [cfg.nx], "nu": [cfg.nu], "ne": [cfg.nu - cfg.nv],
         "nv": [cfg.nv], "nd": [cfg.nd], "N": [cfg.N],
-        "matL": np.asarray(L).T.reshape(-1),
-        "matLhat": np.asarray(Lhat).T.reshape(-1),
         "matDiagPrecnd": np.asarray(cfg.diag_precnd).reshape(-1),
         "costW": np.asarray(cfg.cost_w).T.reshape(-1),
         "currentX": cfg.current_x,
@@ -93,6 +91,13 @@ def config_to_json(cfg, path, *, network_path="network.json",
         "algorithmName": cfg.algorithm,
         "lbfgsBufferSize": [cfg.lbfgs_buffer_size],
     }
+    # L / Lhat are optional: when absent the Engine recomputes them from
+    # the network topology via the SVD null-space elimination
+    # (engine/nullspace.py; reference src/Engine.cu:466-669).
+    if L is not None:
+        doc["matL"] = np.asarray(L).T.reshape(-1)
+    if Lhat is not None:
+        doc["matLhat"] = np.asarray(Lhat).T.reshape(-1)
     jsonio.dump_json(path, doc)
 
 

@@ -1,0 +1,42 @@
+"""Smoke tests: the examples/ scripts run end-to-end (CPU)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from tests.conftest import REFERENCE_FIXTURES
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(script, *argv, timeout=420):
+    env = dict(os.environ)
+    cp = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "examples", script), *argv],
+        capture_output=True, text=True, timeout=timeout, env=env, cwd=ROOT)
+    assert cp.returncode == 0, cp.stderr[-2000:]
+    return cp.stdout
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_FIXTURES),
+                    reason="reference fixtures not available")
+def test_closed_loop_reference_example():
+    out = _run("closed_loop_reference_fixtures.py", "--platform", "cpu",
+               "--steps", "2")
+    assert "economic kpi" in out
+
+
+def test_epanet_export_roundtrip_example(tmp_path):
+    out = _run("epanet_to_controller.py", "--platform", "cpu",
+               "--out", str(tmp_path / "dwn"))
+    assert "KPIs:" in out
+    assert (tmp_path / "dwn" / "controllerConfig.json").exists()
+
+
+def test_multichip_sharded_example():
+    out = _run("multichip_sharded.py", "--devices", "4",
+               "--iterations", "40")
+    assert "'scen': 4" in out
+    assert "control u0:" in out
