@@ -12,16 +12,18 @@ fd = eng.factor_step()
 run_x = jax.jit(apg_mod.make_apg(prefix_stages=fd.prefix_stages, **kw))
 step = make_step(cfg.current_x)
 out_x = jax.block_until_ready(run_x(fa, step))
-consts = pallas_apg.pad_constants(fa)
-print("vmem MB", pallas_apg.vmem_bytes(consts)/1e6, "fits", pallas_apg.fits_vmem(consts))
-run_p, padf = pallas_apg.make_apg_pallas(fa, **kw)
-step_p = padf(step)
-out_p = jax.block_until_ready(run_p(step_p))
+run_p = pallas_apg.make_apg_pallas(fa, **kw)
+out_p = jax.block_until_ready(run_p(step))
 print("control diff", float(np.abs(np.asarray(out_x["control"])-np.asarray(out_p["control"])).max()))
 def t(f, *a):
     ts=[]
-    for _ in range(5):
+    for _ in range(7):
         t0=time.perf_counter(); jax.block_until_ready(f(*a)); ts.append(time.perf_counter()-t0)
-    return np.median(ts)*1e3
-print("xla ms", t(run_x, fa, step))
-print("pallas ms", t(run_p, step_p))
+    return f"min {min(ts)*1e3:.2f} med {sorted(ts)[3]*1e3:.2f} ms"
+print("xla   ", t(run_x, fa, step))
+print("pallas", t(run_p, step))
+# marginal: 50-iter pallas
+kw50 = dict(kw); kw50["max_iterations"]=50
+run_p50 = pallas_apg.make_apg_pallas(fa, **kw50)
+jax.block_until_ready(run_p50(step))
+print("pallas50", t(run_p50, step))
