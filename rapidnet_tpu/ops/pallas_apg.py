@@ -433,3 +433,25 @@ def make_apg_pallas(fa: dict, *, inv_step, step_size, penalty_state,
         return run_impl(const_device, step, y0)
 
     return run
+
+
+def make_apg_pallas_batch(fa: dict, **kwargs):
+    """Batched fused-kernel solve: B independent instances per call.
+
+    ``jax.vmap`` over the whole-solve ``pallas_call`` turns the batch
+    axis into a kernel grid dimension — each grid step is one complete
+    solve, VMEM-resident, sharing the factor constants.  Measured ~5x
+    solves/s over single-solve dispatch at the Barcelona bench scale
+    (fills the chip and amortises fixed per-call overhead).
+
+    Returns fn(steps, y0=None) where every leaf of ``steps`` (and of
+    the padded warm start ``y0``) has a leading batch axis.
+    """
+    run = make_apg_pallas(fa, **kwargs)
+    v_cold = jax.jit(jax.vmap(lambda s: run(s)))
+    v_warm = jax.jit(jax.vmap(run))
+
+    def run_batch(steps, y0=None):
+        return v_cold(steps) if y0 is None else v_warm(steps, y0)
+
+    return run_batch

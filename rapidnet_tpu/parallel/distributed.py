@@ -66,3 +66,45 @@ def make_global_fan_array(mesh: Mesh, host_local, *, sharded_dim=1):
     if jax.process_count() == 1:
         return jax.device_put(host_local, sharding)
     return jax.make_array_from_process_local_data(sharding, host_local)
+
+
+def _make_global(mesh: Mesh, spec: P, global_np):
+    """Globally-sharded array from a full copy of the global data.
+
+    Every host holds the (small, host-side) global numpy arrays; this
+    carves out the process-local block along the scenario axis and
+    assembles the jax.Array across processes.  Single-process: a plain
+    device_put.
+    """
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(global_np, sharding)
+    local = global_np
+    for dim, name in enumerate(spec):
+        if name == AXIS:
+            n = global_np.shape[dim]
+            sl = host_local_scenario_slice(n)
+            local = np.take(np.asarray(global_np),
+                            np.arange(sl.start, sl.stop), axis=dim)
+            break
+    return jax.make_array_from_process_local_data(
+        sharding, np.asarray(local), global_np.shape)
+
+
+def shard_problem_multihost(mesh: Mesh, fa: dict, step: dict):
+    """Assemble globally-sharded factor/step dicts on a multi-process
+    mesh, each process contributing only its scenario block.
+
+    The sharding layout matches :func:`rapidnet_tpu.parallel.sharding.
+    shard_factor_arrays` / ``shard_step_arrays`` (which are the
+    single-process fast path), so the result feeds ``make_sharded_apg``
+    unchanged on a DCN-spanning mesh.
+    """
+    from rapidnet_tpu.parallel.sharding import _fa_specs, _step_specs
+
+    fa_specs, step_specs = _fa_specs(fa), _step_specs(step)
+    put = lambda x, s: _make_global(mesh, s, np.asarray(x))
+    fa_sh = jax.tree.map(put, fa, fa_specs,
+                         is_leaf=lambda x: not isinstance(x, dict))
+    step_sh = jax.tree.map(put, step, step_specs)
+    return fa_sh, step_sh

@@ -1,0 +1,86 @@
+"""Worker process for the real multi-process distributed test.
+
+Launched by tests/test_distributed.py as N separate OS processes, each
+playing one "host" of a pod slice: jax.distributed.initialize over a
+local TCP coordinator, gloo CPU collectives, 2 virtual devices per
+process.  Each process materialises ONLY its own scenario block
+(shard_problem_multihost) — the data path a real multi-host deployment
+uses — then runs the shard_map APG solve over the global mesh.
+
+Usage: python _dist_worker.py <pid> <nproc> <port> <out.npz>
+"""
+
+import os
+import sys
+
+
+def build_problem():
+    """Deterministic synthetic problem, identical on every process
+    (ns=16 scenarios; mirrors the tests/test_sharding.py fixture)."""
+    from rapidnet_tpu.engine.engine import XS_UPPER, Engine
+    from rapidnet_tpu.model.config import synthetic_config
+    from rapidnet_tpu.model.forecaster import synthetic_forecaster
+    from rapidnet_tpu.model.network import synthetic_network
+    from rapidnet_tpu.model.scenario_tree import generate_tree
+    from rapidnet_tpu.solver.controller import _factor_arrays, _step_arrays
+
+    net = synthetic_network(nx=4, nu=7, nd=3, ne=2, seed=11)
+    tree = generate_tree(N=10, branching=[4, 2, 2], nd=3, nu=7, seed=11)
+    fc = synthetic_forecaster(N=10, nd=3, nu=7, sim_horizon=4, seed=11)
+    cfg = synthetic_config(net, tree, max_iterations=40, step_size=1e-3)
+    eng = Engine(net, tree, cfg)
+    fc.predict_demand(0)
+    fc.predict_prices(0)
+    fa = _factor_arrays(eng)
+    step = _step_arrays(eng.prepare_step(
+        fc.nominal_demand, fc.nominal_prices, cfg.current_x, cfg.prev_u,
+        cfg.prev_demand))
+    kw = dict(prefix_stages=eng.factor_step().prefix_stages,
+              inv_step=1.0 / cfg.step_size, step_size=cfg.step_size,
+              penalty_state=cfg.penalty_state,
+              penalty_safety=cfg.penalty_safety,
+              xs_upper=float(XS_UPPER),
+              max_iterations=cfg.max_iterations)
+    return fa, step, kw
+
+
+def main(pid: int, nproc: int, port: int, out_path: str) -> int:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    try:
+        jax.distributed.initialize(
+            coordinator_address=f"127.0.0.1:{port}",
+            num_processes=nproc, process_id=pid)
+    except Exception as exc:  # runtime lacks gloo — signal a skip
+        print(f"DIST_INIT_FAILED: {exc}", file=sys.stderr)
+        return 3
+
+    import numpy as np
+
+    from rapidnet_tpu.parallel import make_sharded_apg
+    from rapidnet_tpu.parallel.distributed import (
+        scenario_mesh, shard_problem_multihost)
+
+    assert jax.process_count() == nproc
+    assert len(jax.devices()) == 2 * nproc
+
+    fa, step, kw = build_problem()
+    mesh = scenario_mesh()
+    fa_sh, step_sh = shard_problem_multihost(mesh, fa, step)
+    run = make_sharded_apg(mesh, fa, step, **kw)
+    out = run(fa_sh, step_sh)
+    control = np.asarray(out["control"])          # replicated
+    infeas = np.asarray(out["primal_infeasibility"])
+    if pid == 0:
+        np.savez(out_path, control=control, infeas=infeas)
+    jax.distributed.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]),
+                  sys.argv[4]))

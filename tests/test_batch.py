@@ -1,0 +1,119 @@
+"""Batched solve and batched closed-loop tests (BASELINE config #5).
+
+Batched paths must agree exactly (float32) with per-instance solves —
+vmap adds a batch axis but must not change the math.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from rapidnet_tpu.engine.engine import XS_UPPER, Engine
+from rapidnet_tpu.model.config import synthetic_config
+from rapidnet_tpu.model.forecaster import synthetic_forecaster
+from rapidnet_tpu.model.network import synthetic_network
+from rapidnet_tpu.model.scenario_tree import generate_tree
+from rapidnet_tpu.solver import apg as apg_mod
+from rapidnet_tpu.solver.batch import BatchedSmpcController
+from rapidnet_tpu.solver.controller import (SmpcController, _factor_arrays,
+                                            _step_arrays)
+
+B = 3
+
+
+@pytest.fixture(scope="module")
+def problem():
+    net = synthetic_network(nx=4, nu=7, nd=3, ne=2, seed=3)
+    tree = generate_tree(N=8, branching=[2, 2], nd=3, nu=7, seed=3)
+    fc = synthetic_forecaster(N=8, nd=3, nu=7, sim_horizon=6, seed=3)
+    cfg = synthetic_config(net, tree, max_iterations=30, step_size=1e-3)
+    eng = Engine(net, tree, cfg)
+    fc.predict_demand(0)
+    fc.predict_prices(0)
+    fa = _factor_arrays(eng)
+    rng = np.random.default_rng(17)
+    x0s = cfg.current_x * (0.9 + 0.2 * rng.random((B, cfg.current_x.size)))
+    steps = [_step_arrays(eng.prepare_step(
+        fc.nominal_demand, fc.nominal_prices, x0s[b].astype(np.float32),
+        cfg.prev_u, cfg.prev_demand)) for b in range(B)]
+    kw = dict(prefix_stages=eng.factor_step().prefix_stages,
+              inv_step=1.0 / cfg.step_size, step_size=cfg.step_size,
+              penalty_state=cfg.penalty_state,
+              penalty_safety=cfg.penalty_safety,
+              xs_upper=float(XS_UPPER), max_iterations=30)
+    return dict(net=net, tree=tree, fc=fc, cfg=cfg, eng=eng, fa=fa,
+                steps=steps, x0s=x0s.astype(np.float32), kw=kw)
+
+
+def _stack(steps):
+    import jax.numpy as jnp
+    return {k: jnp.stack([s[k] for s in steps]) for k in steps[0]}
+
+
+def test_batched_xla_matches_per_instance(problem):
+    single = jax.jit(apg_mod.make_apg(**problem["kw"]))
+    batched = jax.jit(apg_mod.make_apg_batch(**problem["kw"]))
+    out_b = batched(problem["fa"], _stack(problem["steps"]))
+    for b, step in enumerate(problem["steps"]):
+        out_1 = single(problem["fa"], step)
+        np.testing.assert_array_equal(np.asarray(out_b["control"])[b],
+                                      np.asarray(out_1["control"]))
+        np.testing.assert_array_equal(
+            np.asarray(out_b["primal_infeasibility"])[b],
+            np.asarray(out_1["primal_infeasibility"]))
+
+
+def test_batched_pallas_matches_per_instance(problem):
+    from rapidnet_tpu.ops import pallas_apg
+    kw = {k: v for k, v in problem["kw"].items() if k != "prefix_stages"}
+    single = pallas_apg.make_apg_pallas(problem["fa"], **kw)
+    batched = pallas_apg.make_apg_pallas_batch(problem["fa"], **kw)
+    out_b = batched(_stack(problem["steps"]))
+    for b, step in enumerate(problem["steps"]):
+        out_1 = single(step)
+        np.testing.assert_allclose(np.asarray(out_b["control"])[b],
+                                   np.asarray(out_1["control"]),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_batched_closed_loop_matches_sequential(problem):
+    cfg, net, tree = problem["cfg"], problem["net"], problem["tree"]
+    x0s = problem["x0s"]
+
+    def fresh_fc():
+        return synthetic_forecaster(N=8, nd=3, nu=7, sim_horizon=6, seed=3)
+
+    bctrl = BatchedSmpcController(cfg, net, tree, fresh_fc(), x0s,
+                                  backend="xla")
+    blog = bctrl.closed_loop(3)
+
+    for b in range(B):
+        cfg_b = cfg.replace(current_x=x0s[b]) if hasattr(cfg, "replace") \
+            else None
+        if cfg_b is None:
+            import copy
+            cfg_b = copy.deepcopy(cfg)
+            cfg_b.set_current_state(x0s[b])
+        ctrl = SmpcController(cfg_b, network=net, tree=tree,
+                              forecaster=fresh_fc(), backend="xla")
+        log = ctrl.closed_loop(3)
+        for t in range(3):
+            np.testing.assert_allclose(
+                blog["controls"][t, b], np.asarray(log[f"control{t}"]),
+                rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(blog["economicKpi"][b],
+                                   log["economicKpi"], rtol=1e-5)
+        np.testing.assert_allclose(blog["smoothKpi"][b],
+                                   log["smoothKpi"], rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(blog["networkKpi"][b],
+                                   log["networkKpi"], rtol=1e-5)
+
+
+def test_batched_warm_start_runs(problem):
+    cfg, net, tree = problem["cfg"], problem["net"], problem["tree"]
+    fc = synthetic_forecaster(N=8, nd=3, nu=7, sim_horizon=6, seed=3)
+    bctrl = BatchedSmpcController(cfg, net, tree, fc, problem["x0s"],
+                                  backend="xla", warm_start=True)
+    log = bctrl.closed_loop(2)
+    assert log["controls"].shape == (2, B, 7)
+    assert np.all(np.isfinite(log["controls"]))
