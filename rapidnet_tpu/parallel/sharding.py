@@ -126,3 +126,51 @@ def make_sharded_apg(mesh: Mesh, fa_template: dict, step_template: dict, *,
     fn = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
                    check_vma=False)
     return jax.jit(fn)
+
+
+def make_sharded_quasi_newton(mesh: Mesh, fa_template: dict,
+                              step_template: dict, *, algorithm: str,
+                              prefix_stages: tuple, inv_step: float,
+                              step_size: float, penalty_state: float,
+                              penalty_safety: float, xs_upper: float,
+                              max_iterations: int, lbfgs_buffer_size: int):
+    """Scenario-axis-sharded global-FBE / NAMA solve.
+
+    Same layout as :func:`make_sharded_apg`; the quasi-Newton extras
+    (L-BFGS dots, FBE value, line-search decisions) are global scalars
+    computed with masked ``psum``s (quasi_newton.masked_dot), so the
+    line-search control flow stays identical on every shard.
+    """
+    from rapidnet_tpu.solver import quasi_newton
+
+    run_core = quasi_newton.make_solver(
+        algorithm=algorithm, prefix_stages=prefix_stages,
+        inv_step=inv_step, step_size=step_size,
+        penalty_state=penalty_state, penalty_safety=penalty_safety,
+        xs_upper=xs_upper, max_iterations=max_iterations,
+        lbfgs_buffer_size=lbfgs_buffer_size,
+        axis_name=AXIS, project_control=False)
+
+    in_specs = (_fa_specs(fa_template), _step_specs(step_template))
+    out_specs = {
+        "control": P(),
+        "x": P(None, AXIS, None),
+        "u": P(None, AXIS, None),
+        "v": P(None, AXIS, None),
+        "y": {"xi": P(None, AXIS, None), "psi": P(None, AXIS, None)},
+        "primal_infeasibility": P(),
+        "value_fbe": P(),
+        "tau": P(),
+    }
+
+    def body(fa, step):
+        out = run_core(fa, step)
+        u0 = jnp.clip(out["u"][0, 0], fa["umin"][0, 0], fa["umax"][0, 0])
+        idx = lax.axis_index(AXIS)
+        u0 = jnp.where(idx == 0, u0, jnp.zeros_like(u0))
+        out["control"] = lax.psum(u0, AXIS)
+        return out
+
+    fn = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_vma=False)
+    return jax.jit(fn)

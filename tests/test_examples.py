@@ -40,3 +40,9 @@ def test_multichip_sharded_example():
                "--iterations", "40")
     assert "'scen': 4" in out
     assert "control u0:" in out
+
+
+def test_batched_monte_carlo_example():
+    out = _run("batched_monte_carlo.py", "--platform", "cpu",
+               "--batch", "4", "--steps", "2", "--iterations", "40")
+    assert "solves/s" in out and "OK" in out

@@ -91,3 +91,37 @@ def test_sharded_apg_4_devices(problem):
     np.testing.assert_allclose(np.asarray(out["control"]),
                                np.asarray(ref["control"]),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("algorithm", ["globalFbeAlgorithm",
+                                       "namaAlgorithm"])
+def test_sharded_quasi_newton_matches_single_device(problem, algorithm):
+    from rapidnet_tpu.parallel import (make_mesh,
+                                       make_sharded_quasi_newton,
+                                       shard_factor_arrays,
+                                       shard_step_arrays)
+    from rapidnet_tpu.solver import quasi_newton
+
+    kw = dict(_solver_kwargs(problem), max_iterations=15,
+              lbfgs_buffer_size=4)
+    single = jax.jit(quasi_newton.make_solver(algorithm=algorithm, **kw))
+    ref = single(problem["fa"], problem["step"])
+
+    mesh = make_mesh(8)
+    fa_sh = shard_factor_arrays(problem["fa"], mesh)
+    step_sh = shard_step_arrays(problem["step"], mesh)
+    sharded = make_sharded_quasi_newton(
+        mesh, problem["fa"], problem["step"], algorithm=algorithm, **kw)
+    out = sharded(fa_sh, step_sh)
+
+    np.testing.assert_allclose(np.asarray(out["control"]),
+                               np.asarray(ref["control"]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["u"]), np.asarray(ref["u"]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(out["value_fbe"]), np.asarray(ref["value_fbe"]),
+        rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(out["tau"]), np.asarray(ref["tau"]),
+        rtol=1e-4, atol=1e-5)
