@@ -1,7 +1,12 @@
-from rapidnet_tpu.parallel.sharding import (make_mesh, make_sharded_apg,
+from rapidnet_tpu.parallel.sharding import (make_mesh, make_mesh_2d,
+                                            make_sharded_apg,
+                                            make_sharded_apg_batch,
                                             make_sharded_quasi_newton,
                                             shard_factor_arrays,
-                                            shard_step_arrays)
+                                            shard_step_arrays,
+                                            shard_step_arrays_batch)
 
-__all__ = ["make_mesh", "make_sharded_apg", "make_sharded_quasi_newton",
-           "shard_factor_arrays", "shard_step_arrays"]
+__all__ = ["make_mesh", "make_mesh_2d", "make_sharded_apg",
+           "make_sharded_apg_batch", "make_sharded_quasi_newton",
+           "shard_factor_arrays", "shard_step_arrays",
+           "shard_step_arrays_batch"]

@@ -37,6 +37,7 @@ except ImportError:  # pragma: no cover
 from rapidnet_tpu.solver import apg as apg_mod
 
 AXIS = "scen"
+BATCH_AXIS = "batch"
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -126,6 +127,83 @@ def make_sharded_apg(mesh: Mesh, fa_template: dict, step_template: dict, *,
     fn = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
                    check_vma=False)
     return jax.jit(fn)
+
+
+def make_mesh_2d(n_batch: int, n_scen: int, devices=None) -> Mesh:
+    """2-D mesh: batch data-parallel axis x scenario axis.
+
+    The framework's dp x sp analog: independent problem instances
+    (batched receding-horizon runs) shard over BATCH_AXIS with zero
+    cross-talk; each instance's scenario tree shards over AXIS with the
+    branching-prefix/psum collectives staying inside the scenario
+    submesh (innermost axis -> ICI-adjacent devices).
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[:n_batch * n_scen]).reshape(
+        n_batch, n_scen)
+    return Mesh(devices, (BATCH_AXIS, AXIS))
+
+
+def make_sharded_apg_batch(mesh: Mesh, fa_template: dict,
+                           step_template: dict, *, prefix_stages: tuple,
+                           inv_step: float, step_size: float,
+                           penalty_state: float, penalty_safety: float,
+                           xs_upper: float, max_iterations: int):
+    """Batched AND scenario-sharded APG over a 2-D (batch, scen) mesh.
+
+    fn(fa, steps) where ``steps`` leaves carry a leading batch axis
+    (sharded over BATCH_AXIS) and the scenario/slot axis is sharded
+    over AXIS; the factor arrays are shared across the batch.  Returns
+    per-instance controls (B, nu) plus the usual outputs with batch and
+    scenario shardings.
+    """
+    run_core = apg_mod.make_apg(
+        prefix_stages=prefix_stages, inv_step=inv_step,
+        step_size=step_size, penalty_state=penalty_state,
+        penalty_safety=penalty_safety, xs_upper=xs_upper,
+        max_iterations=max_iterations,
+        axis_name=AXIS, project_control=False)
+
+    def add_batch(spec):
+        return P(BATCH_AXIS, *spec)
+
+    fa_specs = _fa_specs(fa_template)
+    step_specs = jax.tree.map(add_batch, _step_specs(step_template))
+    in_specs = (fa_specs, step_specs)
+    out_specs = {
+        "control": P(BATCH_AXIS, None),
+        "x": P(BATCH_AXIS, None, AXIS, None),
+        "u": P(BATCH_AXIS, None, AXIS, None),
+        "v": P(BATCH_AXIS, None, AXIS, None),
+        "y": {"xi": P(BATCH_AXIS, None, AXIS, None),
+              "psi": P(BATCH_AXIS, None, AXIS, None)},
+        "primal_infeasibility": P(BATCH_AXIS, None),
+        "iterations": P(BATCH_AXIS),
+    }
+
+    def solve_one(fa, step):
+        out = run_core(fa, step)
+        u0 = jnp.clip(out["u"][0, 0], fa["umin"][0, 0], fa["umax"][0, 0])
+        idx = lax.axis_index(AXIS)
+        u0 = jnp.where(idx == 0, u0, jnp.zeros_like(u0))
+        out["control"] = lax.psum(u0, AXIS)
+        return out
+
+    def body(fa, steps):
+        return jax.vmap(lambda s: solve_one(fa, s))(steps)
+
+    fn = shard_map(body, mesh=mesh, in_specs=in_specs,
+                   out_specs=out_specs, check_vma=False)
+    return jax.jit(fn)
+
+
+def shard_step_arrays_batch(steps: dict, mesh: Mesh) -> dict:
+    """Place a batched step dict on a 2-D (batch, scen) mesh."""
+    def spec(v):
+        return P(BATCH_AXIS, *( _step_specs({"_": v[0]})["_"] ))
+    return {k: jax.device_put(v, NamedSharding(mesh, spec(v)))
+            for k, v in steps.items()}
 
 
 def make_sharded_quasi_newton(mesh: Mesh, fa_template: dict,

@@ -315,16 +315,41 @@ class SmpcController:
             return 0.0
         return 100.0 * max(sim_time, 1) * safe_norm / self.network_kpi_acc
 
+    def live_buffer_count(self) -> int:
+        """Number of live device arrays (leak-invariant probe).
+
+        TPU analog of the reference's cudaMemGetInfo leak check
+        (src/SmpcController.cu:1612-1624): the buffer census must be
+        stable across solves once the solver is warm.
+        """
+        return len(jax.live_arrays())
+
     # ------------------------------------------------------------------
     def closed_loop(self, steps: int, output_json: Optional[str] = None
                     ) -> dict:
-        """Run a closed-loop simulation (reference main.cu:45-69)."""
+        """Run a closed-loop simulation (reference main.cu:45-69).
+
+        Mirrors the reference's per-solve memory-leak invariant
+        (src/SmpcController.cu:1612-1624): the live device-buffer count
+        must not grow across warm solves; growth is reported in the log
+        (the reference prints "RUNTIME ERROR: MEMORY LEAKS").
+        """
         log = {}
+        buffers0 = None
         for t in range(steps):
             u = self.control_action(t)
+            if t == 0:
+                buffers0 = self.live_buffer_count()   # post-warmup census
             log[f"control{t}"] = u.tolist()
             log[f"time{t}"] = [self.solve_times_ms[-1]]
             self.move_forward_in_time()
+        if steps > 1 and buffers0 is not None:
+            growth = self.live_buffer_count() - buffers0
+            if growth > 0:
+                log["memoryLeakWarning"] = (
+                    f"RUNTIME ERROR: MEMORY LEAKS ({growth} device "
+                    f"buffers gained across {steps - 1} warm solves)")
+                print(log["memoryLeakWarning"], file=__import__("sys").stderr)
         log["economicKpi"] = self.economic_kpi(steps)
         log["smoothKpi"] = self.smooth_kpi(steps)
         log["safetyKpi"] = self.safety_kpi(steps)

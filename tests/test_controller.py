@@ -87,3 +87,18 @@ def test_pallas_backend_rejects_tolerance(ref_problem):
                           backend="pallas", tolerance=1e-4)
     with pytest.raises(ValueError, match="early termination"):
         ctrl.initialise()
+
+
+def test_closed_loop_no_buffer_leaks(ref_problem):
+    """TPU analog of the reference's cudaMemGetInfo leak invariant
+    (src/SmpcController.cu:1612-1624): live device-buffer census stays
+    flat across warm solves."""
+    from rapidnet_tpu.solver.controller import SmpcController
+    cfg = copy.deepcopy(ref_problem["config"])
+    cfg.max_iterations = 60
+    ctrl = SmpcController(cfg, network=ref_problem["network"],
+                          tree=ref_problem["tree"],
+                          forecaster=ref_problem["forecaster"],
+                          backend="xla")
+    log = ctrl.closed_loop(3)
+    assert "memoryLeakWarning" not in log, log["memoryLeakWarning"]

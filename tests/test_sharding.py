@@ -125,3 +125,45 @@ def test_sharded_quasi_newton_matches_single_device(problem, algorithm):
     np.testing.assert_allclose(
         np.asarray(out["tau"]), np.asarray(ref["tau"]),
         rtol=1e-4, atol=1e-5)
+
+
+def test_2d_mesh_batched_sharded_apg(problem):
+    """dp x sp: (batch, scen) 2-D mesh matches per-instance solves."""
+    import jax.numpy as jnp
+    from rapidnet_tpu.parallel import (make_mesh_2d, make_sharded_apg_batch,
+                                       shard_factor_arrays,
+                                       shard_step_arrays_batch)
+
+    B = 4
+    rng = np.random.default_rng(5)
+    x0 = problem["cfg"].current_x
+    steps = []
+    eng, cfg, fc = problem["eng"], problem["cfg"], None
+    from rapidnet_tpu.model.forecaster import synthetic_forecaster
+    fc = synthetic_forecaster(N=10, nd=3, nu=7, sim_horizon=4, seed=11)
+    fc.predict_demand(0)
+    fc.predict_prices(0)
+    from rapidnet_tpu.solver.controller import _step_arrays
+    for b in range(B):
+        xr = (x0 * (0.9 + 0.2 * rng.random(x0.shape))).astype(np.float32)
+        steps.append(_step_arrays(eng.prepare_step(
+            fc.nominal_demand, fc.nominal_prices, xr, cfg.prev_u,
+            cfg.prev_demand)))
+    batched = {k: jnp.stack([s[k] for s in steps]) for k in steps[0]}
+
+    mesh = make_mesh_2d(2, 4)
+    fa_sh = shard_factor_arrays(problem["fa"], mesh)
+    steps_sh = shard_step_arrays_batch(batched, mesh)
+    fn = make_sharded_apg_batch(mesh, problem["fa"], steps[0],
+                                **_solver_kwargs(problem))
+    out = fn(fa_sh, steps_sh)
+
+    single = jax.jit(apg_mod.make_apg(**_solver_kwargs(problem)))
+    for b, step in enumerate(steps):
+        ref = single(problem["fa"], step)
+        np.testing.assert_allclose(np.asarray(out["control"])[b],
+                                   np.asarray(ref["control"]),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(out["primal_infeasibility"])[b],
+            np.asarray(ref["primal_infeasibility"]), rtol=1e-3, atol=1e-4)
