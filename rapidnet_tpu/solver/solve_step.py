@@ -249,10 +249,12 @@ def signed_max_abs(res_xi, res_psi, axis_name: str | None = None):
     fp = res_psi.reshape(-1)
     vx = fx[jnp.argmax(jnp.abs(fx))]
     vp = fp[jnp.argmax(jnp.abs(fp))]
-    m = jnp.maximum(vx, vp)
     if axis_name is not None:
-        # take the value whose |.| is globally maximal, then signed max
-        allv = lax.all_gather(jnp.stack([vx, vp]), axis_name)
-        allv = allv.reshape(-1)
-        m = jnp.max(allv)
-    return m
+        # per dual block, the signed value of the globally max-|.| entry
+        # (each shard contributes its local champion), then signed max —
+        # exactly the single-device semantics
+        ax = lax.all_gather(vx, axis_name)
+        ap = lax.all_gather(vp, axis_name)
+        vx = ax[jnp.argmax(jnp.abs(ax))]
+        vp = ap[jnp.argmax(jnp.abs(ap))]
+    return jnp.maximum(vx, vp)
