@@ -102,3 +102,25 @@ def test_closed_loop_no_buffer_leaks(ref_problem):
                           backend="xla")
     log = ctrl.closed_loop(3)
     assert "memoryLeakWarning" not in log, log["memoryLeakWarning"]
+
+
+@requires_reference
+@pytest.mark.parametrize("config_name", ["controllerFbeConfig.json",
+                                         "controllerNamaConfig.json"])
+def test_closed_loop_quasi_newton_configs(config_name, ref_problem,
+                                          tmp_path):
+    """Closed loop under the reference's FBE/NAMA controller configs
+    (the reference runs three suites per algorithm,
+    src/test/Testing.cu:482-595)."""
+    from rapidnet_tpu.model.config import SmpcConfig
+    from rapidnet_tpu.solver.controller import SmpcController
+    cfg = SmpcConfig.from_json(fixture_path(config_name))
+    cfg.max_iterations = 30
+    ctrl = SmpcController(cfg, network=ref_problem["network"],
+                          tree=ref_problem["tree"],
+                          forecaster=ref_problem["forecaster"])
+    log = ctrl.closed_loop(2, output_json=str(tmp_path / "out.json"))
+    for t in range(2):
+        u = np.asarray(log[f"control{t}"])
+        assert u.shape == (6,) and np.isfinite(u).all()
+    assert np.isfinite(log["economicKpi"])
