@@ -80,15 +80,34 @@ class SmpcController:
                  forecaster: Optional[Forecaster] = None,
                  warm_start: bool = False,
                  tolerance: Optional[float] = None,
-                 backend: str = "auto"):
+                 backend: str = "auto",
+                 mesh=None):
         """backend: 'auto' | 'xla' | 'pallas'.  'auto' picks the fused
         whole-solve Pallas kernel (ops/pallas_apg.py) for fixed-budget
         APG solves on a TPU whose padded working set fits VMEM, and the
-        general XLA path otherwise."""
+        general XLA path otherwise.
+
+        mesh: optional ``jax.sharding.Mesh`` with a 'scen' axis — the
+        closed loop then runs the scenario-axis-sharded shard_map solve
+        (all three algorithms) over the mesh, e.g. a multi-host pod
+        slice built by ``parallel.distributed.scenario_mesh()``.
+        """
         if isinstance(config, str):
             config = SmpcConfig.from_json(config)
         if backend not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown backend '{backend}'")
+        if mesh is not None:
+            if backend == "pallas":
+                raise ValueError("sharded solves run on the XLA path; "
+                                 "backend='pallas' is single-device")
+            if tolerance is not None:
+                raise ValueError("tolerance-based early termination is "
+                                 "not supported on the sharded path")
+            if warm_start:
+                raise ValueError("warm_start is not supported on the "
+                                 "sharded path yet")
+            backend = "xla"
+        self.mesh = mesh
         self.backend = backend
         self._use_pallas = False
         self.warm_start = warm_start
@@ -122,6 +141,9 @@ class SmpcController:
         initialiseSmpcController, src/SmpcController.cu:476-487)."""
         self._fa = _factor_arrays(self.engine)
         cfg = self.config
+        if self.mesh is not None:
+            self._initialise_sharded()
+            return
         if cfg.algorithm == ALGORITHM_APG and self.backend != "xla":
             self._use_pallas = self._pick_pallas()
         if self._use_pallas:
@@ -161,6 +183,32 @@ class SmpcController:
             raise ValueError(f"unknown algorithm '{cfg.algorithm}'")
         self._solver = jax.jit(run)
 
+    def _initialise_sharded(self) -> None:
+        """Build the scenario-sharded shard_map solver over self.mesh."""
+        from rapidnet_tpu.parallel import (make_sharded_apg,
+                                           make_sharded_quasi_newton,
+                                           shard_factor_arrays)
+        cfg = self.config
+        step_t = self.prepare_step(0)     # shape template (host arrays)
+        kw = dict(prefix_stages=self.engine.factor_step().prefix_stages,
+                  inv_step=float(1.0 / cfg.step_size),
+                  step_size=float(cfg.step_size),
+                  penalty_state=float(cfg.penalty_state),
+                  penalty_safety=float(cfg.penalty_safety),
+                  xs_upper=float(XS_UPPER),
+                  max_iterations=int(cfg.max_iterations))
+        if cfg.algorithm == ALGORITHM_APG:
+            run = make_sharded_apg(self.mesh, self._fa, step_t, **kw)
+        elif cfg.algorithm in (ALGORITHM_FBE, ALGORITHM_NAMA):
+            run = make_sharded_quasi_newton(
+                self.mesh, self._fa, step_t, algorithm=cfg.algorithm,
+                lbfgs_buffer_size=int(cfg.lbfgs_buffer_size), **kw)
+        else:
+            raise ValueError(f"unknown algorithm '{cfg.algorithm}'")
+        self._fa = shard_factor_arrays(self._fa, self.mesh)
+        self._sharded_shard_step = None   # built lazily per step
+        self._solver = run
+
     def _pick_pallas(self) -> bool:
         """Auto/forced selection of the fused Pallas solve kernel."""
         from rapidnet_tpu.ops import pallas_apg
@@ -196,7 +244,11 @@ class SmpcController:
             self.initialise()
         step = self.prepare_step(sim_time)
         t0 = time.perf_counter()
-        if self._use_pallas:
+        if self.mesh is not None:
+            from rapidnet_tpu.parallel import shard_step_arrays
+            out = self._solver(self._fa,
+                               shard_step_arrays(step, self.mesh))
+        elif self._use_pallas:
             y0 = self._y_carry if self.warm_start else None
             out = self._solver(step, y0)
         elif self.config.algorithm == ALGORITHM_APG:

@@ -167,3 +167,41 @@ def test_2d_mesh_batched_sharded_apg(problem):
         np.testing.assert_allclose(
             np.asarray(out["primal_infeasibility"])[b],
             np.asarray(ref["primal_infeasibility"]), rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("algorithm", ["proximalAlgorithm",
+                                       "globalFbeAlgorithm"])
+def test_controller_sharded_closed_loop(algorithm):
+    """SmpcController(mesh=...) runs the closed loop sharded and matches
+    the single-device controller."""
+    from rapidnet_tpu.model.config import synthetic_config
+    from rapidnet_tpu.model.forecaster import synthetic_forecaster
+    from rapidnet_tpu.model.network import synthetic_network
+    from rapidnet_tpu.model.scenario_tree import generate_tree
+    from rapidnet_tpu.parallel import make_mesh
+    from rapidnet_tpu.solver.controller import SmpcController
+
+    net = synthetic_network(nx=4, nu=7, nd=3, ne=2, seed=21)
+    tree = generate_tree(N=8, branching=[4, 2], nd=3, nu=7, seed=21)
+    # FBE's backtracking line search takes hard branches on global dots,
+    # so f32 psum-order differences can flip a tau choice and diverge
+    # the trajectories; keep its budget short (the sub-step equivalence
+    # is covered tightly by test_sharded_quasi_newton_matches_...)
+    iters = 20 if algorithm == "proximalAlgorithm" else 10
+
+    def build(mesh):
+        cfg = synthetic_config(net, tree, max_iterations=iters,
+                               step_size=1e-3, algorithm=algorithm)
+        fc = synthetic_forecaster(N=8, nd=3, nu=7, sim_horizon=5, seed=21)
+        return SmpcController(cfg, network=net, tree=tree, forecaster=fc,
+                              backend="xla", mesh=mesh)
+
+    log_ref = build(None).closed_loop(3)
+    log_sh = build(make_mesh(8)).closed_loop(3)
+    for t in range(3):
+        np.testing.assert_allclose(np.asarray(log_sh[f"control{t}"]),
+                                   np.asarray(log_ref[f"control{t}"]),
+                                   rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(log_sh["economicKpi"],
+                               log_ref["economicKpi"], rtol=1e-3,
+                               atol=1e-9)
