@@ -250,6 +250,52 @@ class Engine:
                 "alpha": alpha, "beta": beta.astype(np.float32)}
 
     # ------------------------------------------------------------------
+    def prepare_step_batch(self, nominal_demand: np.ndarray,
+                           nominal_prices: np.ndarray,
+                           x0s: np.ndarray, prev_us: np.ndarray,
+                           prev_demands: np.ndarray) -> dict:
+        """Batched per-step inputs for B instances sharing one forecast.
+
+        The disturbance elimination depends on the instance state only
+        through prev_uhat, which enters linearly and only at the root
+        node: beta_0(b) = beta_0(base) - 2 p_0 (prev_uhat_b @ Wv).  So
+        the (expensive) node-level elimination runs ONCE and each
+        instance gets an O(nu nv) root correction — ~30x cheaper on the
+        host than B independent prepare_step calls at Barcelona scale.
+
+        Returns the batched step dict (leading batch axis on every
+        leaf) consumed by the batched/2-D-mesh solvers.
+        """
+        x0s = np.asarray(x0s, np.float32)
+        prev_us = np.asarray(prev_us, np.float32)
+        prev_demands = np.asarray(prev_demands, np.float32)
+        B = x0s.shape[0]
+        prev_uhats = (prev_demands @ self.Lhat.T).astype(np.float32)
+        node = self.eliminate_input_disturbance_coupling(
+            nominal_demand, nominal_prices,
+            np.zeros(self.network.nu, np.float32))
+        gather = self.tree.gather_to_fan
+        beta_base = gather(node["beta"])               # (N, ns, nv)
+        p0 = float(self.tree.prob[0])
+        delta = -2.0 * p0 * (prev_uhats @ self.Wv)     # (B, nv)
+        beta = np.broadcast_to(
+            beta_base, (B,) + beta_base.shape).astype(np.float32).copy()
+        beta[:, 0] += delta[:, None, :]
+
+        def rep(a):
+            return np.broadcast_to(a, (B,) + a.shape)
+
+        return {
+            "beta": beta,
+            "uhat": rep(gather(node["uhat"])),
+            "e": rep(gather(node["e"])),
+            "alpha_price": rep(gather(node["alpha"])),
+            "x0": x0s,
+            "prev_u": prev_us,
+            "prev_uhat": prev_uhats,
+        }
+
+    # ------------------------------------------------------------------
     def prepare_step(self, nominal_demand: np.ndarray,
                      nominal_prices: np.ndarray,
                      current_x: np.ndarray, prev_u: np.ndarray,

@@ -71,6 +71,11 @@ class BatchedSmpcController:
         if len(forecasters) != self.batch:
             raise ValueError("need one forecaster (shared) or B")
         self.forecasters = list(forecasters)
+        # one shared forecaster -> the host-side step prep runs once per
+        # time step with a per-instance root correction (Engine.
+        # prepare_step_batch) instead of B full eliminations
+        self._shared_forecast = all(f is self.forecasters[0]
+                                    for f in self.forecasters)
         self.engine = Engine(network, tree, config)
         self.backend = backend
         self.warm_start = warm_start
@@ -122,16 +127,29 @@ class BatchedSmpcController:
         """One batched solve; returns the (B, nu) stage-0 controls."""
         if self._solver is None:
             self.initialise()
-        steps = []
-        for b in range(self.batch):
-            fc = self.forecasters[b]
+        if self._shared_forecast:
+            fc = self.forecasters[0]
             if not (fc.predict_demand(sim_time) and
                     fc.predict_prices(sim_time)):
                 raise IndexError(f"forecaster exhausted at t={sim_time}")
-            steps.append(_step_arrays(self.engine.prepare_step(
-                fc.nominal_demand, fc.nominal_prices,
-                self.current_x[b], self.prev_u[b], self.prev_demand[b])))
-        batched = _stack(steps)
+            batched = {k: jnp.asarray(v) for k, v in
+                       self.engine.prepare_step_batch(
+                           fc.nominal_demand, fc.nominal_prices,
+                           self.current_x, self.prev_u,
+                           self.prev_demand).items()}
+        else:
+            steps = []
+            for b in range(self.batch):
+                fc = self.forecasters[b]
+                if not (fc.predict_demand(sim_time) and
+                        fc.predict_prices(sim_time)):
+                    raise IndexError(
+                        f"forecaster exhausted at t={sim_time}")
+                steps.append(_step_arrays(self.engine.prepare_step(
+                    fc.nominal_demand, fc.nominal_prices,
+                    self.current_x[b], self.prev_u[b],
+                    self.prev_demand[b])))
+            batched = _stack(steps)
         t0 = time.perf_counter()
         if self._use_pallas:
             out = self._solver(batched,

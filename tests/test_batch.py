@@ -117,3 +117,53 @@ def test_batched_warm_start_runs(problem):
     log = bctrl.closed_loop(2)
     assert log["controls"].shape == (2, B, 7)
     assert np.all(np.isfinite(log["controls"]))
+
+
+def test_prepare_step_batch_matches_per_instance(problem):
+    """Engine.prepare_step_batch (shared forecast + root correction)
+    equals B independent prepare_step calls."""
+    eng, cfg, fc = problem["eng"], problem["cfg"], problem["fc"]
+    rng = np.random.default_rng(23)
+    x0s = (cfg.current_x *
+           (0.9 + 0.2 * rng.random((B, cfg.current_x.size)))
+           ).astype(np.float32)
+    prev_us = np.tile(cfg.prev_u, (B, 1)).astype(np.float32)
+    prev_us *= (0.95 + 0.1 * rng.random(prev_us.shape)).astype(np.float32)
+    prev_ds = np.tile(cfg.prev_demand, (B, 1)).astype(np.float32)
+    prev_ds *= (0.95 + 0.1 * rng.random(prev_ds.shape)).astype(np.float32)
+
+    batched = eng.prepare_step_batch(
+        fc.nominal_demand, fc.nominal_prices, x0s, prev_us, prev_ds)
+    for b in range(B):
+        single = eng.prepare_step(fc.nominal_demand, fc.nominal_prices,
+                                  x0s[b], prev_us[b], prev_ds[b])
+        np.testing.assert_allclose(batched["beta"][b], single.beta,
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(batched["uhat"][b], single.uhat)
+        np.testing.assert_array_equal(batched["e"][b], single.e)
+        np.testing.assert_allclose(batched["prev_uhat"][b],
+                                   single.prev_uhat, rtol=1e-6, atol=1e-7)
+        np.testing.assert_array_equal(batched["x0"][b], single.x0)
+
+
+def test_batched_closed_loop_shared_forecaster_fast_path(problem):
+    """Shared-forecaster batched loop (prepare_step_batch path) matches
+    the per-instance-forecaster loop given identical forecasts."""
+    cfg, net, tree = problem["cfg"], problem["net"], problem["tree"]
+    x0s = problem["x0s"]
+
+    def fc():
+        return synthetic_forecaster(N=8, nd=3, nu=7, sim_horizon=6, seed=3)
+
+    shared = BatchedSmpcController(cfg, net, tree, fc(), x0s,
+                                   backend="xla")
+    assert shared._shared_forecast
+    per = BatchedSmpcController(cfg, net, tree, [fc() for _ in range(B)],
+                                x0s, backend="xla")
+    assert not per._shared_forecast
+    log_a = shared.closed_loop(3)
+    log_b = per.closed_loop(3)
+    np.testing.assert_allclose(log_a["controls"], log_b["controls"],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(log_a["economicKpi"], log_b["economicKpi"],
+                               rtol=1e-4, atol=1e-9)
