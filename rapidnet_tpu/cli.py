@@ -41,6 +41,10 @@ def main(argv=None):
                    choices=["auto", "xla", "pallas"],
                    help="solver backend: fused whole-solve Pallas "
                         "kernel or the general XLA path (auto picks)")
+    p.add_argument("--devices", type=int, default=0,
+                   help="shard the scenario axis over this many devices "
+                        "(0 = single-device); with jax.distributed "
+                        "initialised this spans the whole pod slice")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -49,7 +53,11 @@ def main(argv=None):
 
     from rapidnet_tpu.solver.controller import SmpcController
 
-    ctrl = SmpcController(args.config, backend=args.backend)
+    mesh = None
+    if args.devices:
+        from rapidnet_tpu.parallel import make_mesh
+        mesh = make_mesh(args.devices)
+    ctrl = SmpcController(args.config, backend=args.backend, mesh=mesh)
     if args.no_price_uncertainty:
         ctrl.engine.price_uncertainty = False
     if args.no_demand_uncertainty:

@@ -53,12 +53,23 @@ class BatchedSmpcController:
                  forecasters: Forecaster | Sequence[Forecaster],
                  x0_batch: np.ndarray,
                  backend: str = "auto",
-                 warm_start: bool = False):
+                 warm_start: bool = False,
+                 mesh=None):
+        """mesh: optional 2-D ('batch', 'scen') Mesh
+        (parallel.make_mesh_2d) — instances shard the batch axis and
+        each instance's scenario tree shards the scenario axis (dp x
+        sp over a pod slice)."""
         if config.algorithm != ALGORITHM_APG:
             raise ValueError("batched closed loops support the APG "
                              "algorithm (the reference default)")
         if backend not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown backend '{backend}'")
+        if mesh is not None:
+            if warm_start:
+                raise ValueError("warm_start is not supported on the "
+                                 "sharded path yet")
+            backend = "xla"
+        self.mesh = mesh
         self.config = config
         self.network = network
         self.tree = tree
@@ -109,6 +120,21 @@ class BatchedSmpcController:
                   penalty_safety=float(cfg.penalty_safety),
                   xs_upper=float(XS_UPPER),
                   max_iterations=int(cfg.max_iterations))
+        if self.mesh is not None:
+            from rapidnet_tpu.parallel import (make_sharded_apg_batch,
+                                               shard_factor_arrays)
+            fc = self.forecasters[0]
+            fc.predict_demand(0)
+            fc.predict_prices(0)
+            step_t = _step_arrays(self.engine.prepare_step(
+                fc.nominal_demand, fc.nominal_prices, self.current_x[0],
+                self.prev_u[0], self.prev_demand[0]))
+            self._solver = make_sharded_apg_batch(
+                self.mesh, self._fa, step_t,
+                prefix_stages=self.engine.factor_step().prefix_stages,
+                **kw)
+            self._fa = shard_factor_arrays(self._fa, self.mesh)
+            return
         if self.backend != "xla":
             from rapidnet_tpu.ops import pallas_apg
             on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
@@ -151,7 +177,11 @@ class BatchedSmpcController:
                     self.prev_demand[b])))
             batched = _stack(steps)
         t0 = time.perf_counter()
-        if self._use_pallas:
+        if self.mesh is not None:
+            from rapidnet_tpu.parallel import shard_step_arrays_batch
+            out = self._solver(
+                self._fa, shard_step_arrays_batch(batched, self.mesh))
+        elif self._use_pallas:
             out = self._solver(batched,
                                self._y_carry if self.warm_start else None)
         else:

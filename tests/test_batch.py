@@ -167,3 +167,24 @@ def test_batched_closed_loop_shared_forecaster_fast_path(problem):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(log_a["economicKpi"], log_b["economicKpi"],
                                rtol=1e-4, atol=1e-9)
+
+
+def test_batched_closed_loop_2d_mesh_matches_unsharded(problem):
+    """BatchedSmpcController on a (batch, scen) 2-D mesh == unsharded."""
+    from rapidnet_tpu.parallel import make_mesh_2d
+    cfg, net, tree = problem["cfg"], problem["net"], problem["tree"]
+    # ns=4 scenarios, B=4 instances -> (2, 4) mesh on 8 virtual devices
+    x0s = np.vstack([problem["x0s"], problem["x0s"][:1]])
+    assert x0s.shape[0] == 4
+
+    def fc():
+        return synthetic_forecaster(N=8, nd=3, nu=7, sim_horizon=6, seed=3)
+
+    ref = BatchedSmpcController(cfg, net, tree, fc(), x0s,
+                                backend="xla").closed_loop(3)
+    sh = BatchedSmpcController(cfg, net, tree, fc(), x0s,
+                               mesh=make_mesh_2d(2, 4)).closed_loop(3)
+    np.testing.assert_allclose(sh["controls"], ref["controls"],
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(sh["economicKpi"], ref["economicKpi"],
+                               rtol=1e-4, atol=1e-9)
