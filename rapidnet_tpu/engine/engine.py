@@ -250,6 +250,48 @@ class Engine:
                 "alpha": alpha, "beta": beta.astype(np.float32)}
 
     # ------------------------------------------------------------------
+    def prepare_step_shared(self, nominal_demand: np.ndarray,
+                            nominal_prices: np.ndarray,
+                            x0s: np.ndarray, prev_us: np.ndarray,
+                            prev_demands: np.ndarray
+                            ) -> tuple[dict, dict]:
+        """Shared-base + per-instance form of :meth:`prepare_step_batch`.
+
+        Returns ``(base, inst)``: ``base`` holds the (unbatched) fan
+        arrays shared by every instance (beta computed with
+        prev_uhat = 0); ``inst`` holds the per-instance vectors —
+        x0, prev_u, prev_uhat and the root beta correction
+        ``delta_beta0 = -2 p0 (prev_uhat @ Wv)``.  The batched step is
+        assembled ON DEVICE by the shared-batch solvers, so the
+        host->device staging per control step is O(tree) + O(B nu)
+        instead of O(B tree) — the difference between ~25 MB and ~1 MB
+        per step at Barcelona scale with B=32.
+        """
+        x0s = np.asarray(x0s, np.float32)
+        prev_us = np.asarray(prev_us, np.float32)
+        prev_demands = np.asarray(prev_demands, np.float32)
+        prev_uhats = (prev_demands @ self.Lhat.T).astype(np.float32)
+        node = self.eliminate_input_disturbance_coupling(
+            nominal_demand, nominal_prices,
+            np.zeros(self.network.nu, np.float32))
+        gather = self.tree.gather_to_fan
+        p0 = float(self.tree.prob[0])
+        base = {
+            "beta": gather(node["beta"]),
+            "uhat": gather(node["uhat"]),
+            "e": gather(node["e"]),
+            "alpha_price": gather(node["alpha"]),
+        }
+        inst = {
+            "x0": x0s,
+            "prev_u": prev_us,
+            "prev_uhat": prev_uhats,
+            "delta_beta0": (-2.0 * p0 *
+                            (prev_uhats @ self.Wv)).astype(np.float32),
+        }
+        return base, inst
+
+    # ------------------------------------------------------------------
     def prepare_step_batch(self, nominal_demand: np.ndarray,
                            nominal_prices: np.ndarray,
                            x0s: np.ndarray, prev_us: np.ndarray,
@@ -266,33 +308,25 @@ class Engine:
         Returns the batched step dict (leading batch axis on every
         leaf) consumed by the batched/2-D-mesh solvers.
         """
-        x0s = np.asarray(x0s, np.float32)
-        prev_us = np.asarray(prev_us, np.float32)
-        prev_demands = np.asarray(prev_demands, np.float32)
-        B = x0s.shape[0]
-        prev_uhats = (prev_demands @ self.Lhat.T).astype(np.float32)
-        node = self.eliminate_input_disturbance_coupling(
-            nominal_demand, nominal_prices,
-            np.zeros(self.network.nu, np.float32))
-        gather = self.tree.gather_to_fan
-        beta_base = gather(node["beta"])               # (N, ns, nv)
-        p0 = float(self.tree.prob[0])
-        delta = -2.0 * p0 * (prev_uhats @ self.Wv)     # (B, nv)
+        base, inst = self.prepare_step_shared(
+            nominal_demand, nominal_prices, x0s, prev_us, prev_demands)
+        B = inst["x0"].shape[0]
         beta = np.broadcast_to(
-            beta_base, (B,) + beta_base.shape).astype(np.float32).copy()
-        beta[:, 0] += delta[:, None, :]
+            base["beta"], (B,) + base["beta"].shape
+        ).astype(np.float32).copy()
+        beta[:, 0] += inst["delta_beta0"][:, None, :]
 
         def rep(a):
             return np.broadcast_to(a, (B,) + a.shape)
 
         return {
             "beta": beta,
-            "uhat": rep(gather(node["uhat"])),
-            "e": rep(gather(node["e"])),
-            "alpha_price": rep(gather(node["alpha"])),
-            "x0": x0s,
-            "prev_u": prev_us,
-            "prev_uhat": prev_uhats,
+            "uhat": rep(base["uhat"]),
+            "e": rep(base["e"]),
+            "alpha_price": rep(base["alpha_price"]),
+            "x0": inst["x0"],
+            "prev_u": inst["prev_u"],
+            "prev_uhat": inst["prev_uhat"],
         }
 
     # ------------------------------------------------------------------

@@ -455,3 +455,30 @@ def make_apg_pallas_batch(fa: dict, **kwargs):
         return v_cold(steps) if y0 is None else v_warm(steps, y0)
 
     return run_batch
+
+
+def make_apg_pallas_batch_shared(fa: dict, **kwargs):
+    """Shared-forecast batched fused-kernel solve: fn(base, inst[, y0]).
+
+    Same contract as ``solver.apg.make_apg_batch_shared`` — the batched
+    step dicts are assembled on device from the shared base + the
+    per-instance vectors (O(tree) + O(B nu) host->device bytes per
+    control step), then each grid step runs one whole-solve kernel.
+    """
+    from rapidnet_tpu.solver.apg import expand_shared_step
+
+    run = make_apg_pallas(fa, **kwargs)
+
+    def one(base, x0, pu, puh, dlt, y0=None):
+        step = expand_shared_step(base, x0, pu, puh, dlt)
+        return run(step) if y0 is None else run(step, y0)
+
+    v_cold = jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0, 0)))
+    v_warm = jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0, 0, 0)))
+
+    def run_batch(base, inst, y0=None):
+        args = (base, inst["x0"], inst["prev_u"], inst["prev_uhat"],
+                inst["delta_beta0"])
+        return v_cold(*args) if y0 is None else v_warm(*args, y0)
+
+    return run_batch

@@ -170,3 +170,36 @@ def make_apg_batch(**kwargs):
         return v_cold(fa, steps) if y0 is None else v_warm(fa, steps, y0)
 
     return run_batch
+
+
+def expand_shared_step(base: dict, x0, prev_u, prev_uhat, delta_beta0):
+    """One instance's step dict from the shared base + its vectors
+    (Engine.prepare_step_shared): only the root-stage beta differs."""
+    return dict(base, x0=x0, prev_u=prev_u, prev_uhat=prev_uhat,
+                beta=base["beta"].at[0].add(delta_beta0[None, :]))
+
+
+def make_apg_batch_shared(**kwargs):
+    """Batched APG over a SHARED forecast: fn(fa, base, inst[, y0]).
+
+    ``base`` holds the unbatched fan arrays; ``inst`` the per-instance
+    {x0, prev_u, prev_uhat, delta_beta0} (Engine.prepare_step_shared).
+    The batched steps are assembled inside the program, so the host
+    ships O(tree) + O(B nu) bytes per control step instead of
+    O(B tree) — the main staging cost of batched closed loops.
+    """
+    run = make_apg(**kwargs)
+
+    def one(fa, base, x0, pu, puh, dlt, y0=None):
+        step = expand_shared_step(base, x0, pu, puh, dlt)
+        return run(fa, step) if y0 is None else run(fa, step, y0)
+
+    v_cold = jax.vmap(one, in_axes=(None, None, 0, 0, 0, 0))
+    v_warm = jax.vmap(one, in_axes=(None, None, 0, 0, 0, 0, 0))
+
+    def run_batch(fa, base, inst, y0=None):
+        args = (fa, base, inst["x0"], inst["prev_u"],
+                inst["prev_uhat"], inst["delta_beta0"])
+        return v_cold(*args) if y0 is None else v_warm(*args, y0)
+
+    return run_batch

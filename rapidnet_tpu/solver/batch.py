@@ -135,17 +135,28 @@ class BatchedSmpcController:
                 **kw)
             self._fa = shard_factor_arrays(self._fa, self.mesh)
             return
+        shared = self._shared_forecast
         if self.backend != "xla":
             from rapidnet_tpu.ops import pallas_apg
             on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
             fits = pallas_apg.fits_vmem(pallas_apg.pad_constants(self._fa))
             if self.backend == "pallas" or (on_tpu and fits):
                 self._use_pallas = True
-                self._solver = pallas_apg.make_apg_pallas_batch(
-                    self._fa, **kw)
+                if shared:
+                    self._solver = pallas_apg.make_apg_pallas_batch_shared(
+                        self._fa, **kw)
+                else:
+                    self._solver = pallas_apg.make_apg_pallas_batch(
+                        self._fa, **kw)
                 return
-        run = apg_mod.make_apg_batch(
-            prefix_stages=self.engine.factor_step().prefix_stages, **kw)
+        if shared:
+            run = apg_mod.make_apg_batch_shared(
+                prefix_stages=self.engine.factor_step().prefix_stages,
+                **kw)
+        else:
+            run = apg_mod.make_apg_batch(
+                prefix_stages=self.engine.factor_step().prefix_stages,
+                **kw)
         self._solver = jax.jit(run)
 
     # ------------------------------------------------------------------
@@ -153,16 +164,26 @@ class BatchedSmpcController:
         """One batched solve; returns the (B, nu) stage-0 controls."""
         if self._solver is None:
             self.initialise()
+        shared_args = None
         if self._shared_forecast:
             fc = self.forecasters[0]
             if not (fc.predict_demand(sim_time) and
                     fc.predict_prices(sim_time)):
                 raise IndexError(f"forecaster exhausted at t={sim_time}")
-            batched = {k: jnp.asarray(v) for k, v in
-                       self.engine.prepare_step_batch(
-                           fc.nominal_demand, fc.nominal_prices,
-                           self.current_x, self.prev_u,
-                           self.prev_demand).items()}
+            if self.mesh is None:
+                # shared-base form: assemble the batch ON DEVICE
+                base, inst = self.engine.prepare_step_shared(
+                    fc.nominal_demand, fc.nominal_prices,
+                    self.current_x, self.prev_u, self.prev_demand)
+                shared_args = (
+                    {k: jnp.asarray(v) for k, v in base.items()},
+                    {k: jnp.asarray(v) for k, v in inst.items()})
+            else:
+                batched = {k: jnp.asarray(v) for k, v in
+                           self.engine.prepare_step_batch(
+                               fc.nominal_demand, fc.nominal_prices,
+                               self.current_x, self.prev_u,
+                               self.prev_demand).items()}
         else:
             steps = []
             for b in range(self.batch):
@@ -177,16 +198,21 @@ class BatchedSmpcController:
                     self.prev_demand[b])))
             batched = _stack(steps)
         t0 = time.perf_counter()
+        y0 = self._y_carry if self.warm_start else None
         if self.mesh is not None:
             from rapidnet_tpu.parallel import shard_step_arrays_batch
             out = self._solver(
                 self._fa, shard_step_arrays_batch(batched, self.mesh))
+        elif shared_args is not None:
+            base, inst = shared_args
+            if self._use_pallas:
+                out = self._solver(base, inst, y0)
+            else:
+                out = self._solver(self._fa, base, inst, y0)
         elif self._use_pallas:
-            out = self._solver(batched,
-                               self._y_carry if self.warm_start else None)
+            out = self._solver(batched, y0)
         else:
-            out = self._solver(self._fa, batched,
-                               self._y_carry if self.warm_start else None)
+            out = self._solver(self._fa, batched, y0)
         control = np.asarray(jax.block_until_ready(out["control"]))
         self.solve_times_ms.append((time.perf_counter() - t0) * 1e3)
         if self.warm_start:
