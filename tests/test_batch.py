@@ -188,3 +188,26 @@ def test_batched_closed_loop_2d_mesh_matches_unsharded(problem):
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(sh["economicKpi"], ref["economicKpi"],
                                rtol=1e-4, atol=1e-9)
+
+
+def test_stage_scan_path_matches_cumsum_path(problem, monkeypatch):
+    """The large-ns sequential-scan sweeps (SCAN_MIN_NS) produce the
+    same solve as the cumsum sweeps."""
+    from rapidnet_tpu.solver import solve_step as ss
+    kw = problem["kw"]
+    step = problem["steps"][0]
+
+    monkeypatch.setattr(ss, "SCAN_MIN_NS", 1 << 30)
+    ref = jax.jit(apg_mod.make_apg(**kw))(problem["fa"], step)
+    ref = jax.tree.map(np.asarray, ref)
+
+    monkeypatch.setattr(ss, "SCAN_MIN_NS", 1)
+    got = jax.jit(apg_mod.make_apg(**kw))(problem["fa"], step)
+
+    np.testing.assert_allclose(np.asarray(got["control"]), ref["control"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got["x"]), ref["x"],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got["primal_infeasibility"]),
+        ref["primal_infeasibility"], rtol=1e-4, atol=1e-6)
