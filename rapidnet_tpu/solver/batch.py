@@ -82,9 +82,9 @@ class BatchedSmpcController:
         if len(forecasters) != self.batch:
             raise ValueError("need one forecaster (shared) or B")
         self.forecasters = list(forecasters)
-        # one shared forecaster -> the host-side step prep runs once per
-        # time step with a per-instance root correction (Engine.
-        # prepare_step_batch) instead of B full eliminations
+        # one shared forecaster -> one elimination per time step with a
+        # per-instance root correction, and the batch is assembled on
+        # device from the shared base (Engine.prepare_step_shared)
         self._shared_forecast = all(f is self.forecasters[0]
                                     for f in self.forecasters)
         self.engine = Engine(network, tree, config)

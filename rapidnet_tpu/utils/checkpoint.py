@@ -18,15 +18,23 @@ import numpy as np
 
 def save_checkpoint(controller, path: str, *, sim_time: int,
                     include_duals: bool = True) -> None:
+    """Atomic checkpoint: tmp-file + rename for both artifacts, so a
+    crash mid-save never corrupts the previous checkpoint."""
     arrays = {
         "current_x": controller.config.current_x,
         "prev_u": controller.config.prev_u,
         "prev_demand": controller.config.prev_demand,
     }
     if include_duals and controller._last is not None:
-        arrays["dual_xi"] = np.asarray(controller._last["y"]["xi"])
-        arrays["dual_psi"] = np.asarray(controller._last["y"]["psi"])
-    np.savez(path + ".npz", **arrays)
+        # XLA path stores the dual pair as {xi, psi}; the fused Pallas
+        # kernel as padded {xi1, xi2, psi}
+        y = controller._last["y"]
+        for k, v in y.items():
+            arrays[f"dual_{k}"] = np.asarray(v)
+    tmp = path + ".npz.tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path + ".npz")
     manifest = {
         "sim_time": sim_time,
         "economic_kpi_acc": controller.economic_kpi_acc,
@@ -36,8 +44,10 @@ def save_checkpoint(controller, path: str, *, sim_time: int,
         "solve_times_ms": controller.solve_times_ms,
         "algorithm": controller.config.algorithm,
     }
-    with open(path + ".json", "w") as f:
+    tmp = path + ".json.tmp"
+    with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
+    os.replace(tmp, path + ".json")
 
 
 def load_checkpoint(controller, path: str) -> int:
@@ -53,6 +63,11 @@ def load_checkpoint(controller, path: str) -> int:
     controller.safe_kpi_acc = manifest["safe_kpi_acc"]
     controller.network_kpi_acc = manifest["network_kpi_acc"]
     controller.solve_times_ms = list(manifest["solve_times_ms"])
+    duals = {k[len("dual_"):]: data[k] for k in data.files
+             if k.startswith("dual_")}
+    if duals and controller.warm_start:
+        import jax.numpy as jnp
+        controller._y_carry = {k: jnp.asarray(v) for k, v in duals.items()}
     return int(manifest["sim_time"])
 
 

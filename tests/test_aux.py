@@ -165,3 +165,37 @@ def test_cli_runs(tmp_path, ref_problem):
     assert rc == 0
     log = json.load(open(out))
     assert "control0" in log and "time1" in log
+
+
+def test_checkpoint_pallas_dual_format_and_warm_resume(tmp_path):
+    """save_checkpoint handles the Pallas dual layout (xi1/xi2/psi) and
+    load_checkpoint restores the warm-start carry."""
+    from rapidnet_tpu.model.config import synthetic_config
+    from rapidnet_tpu.model.forecaster import synthetic_forecaster
+    from rapidnet_tpu.model.network import synthetic_network
+    from rapidnet_tpu.model.scenario_tree import generate_tree
+    from rapidnet_tpu.solver.controller import SmpcController
+    from rapidnet_tpu.utils.checkpoint import (load_checkpoint,
+                                               save_checkpoint)
+
+    net = synthetic_network(nx=4, nu=7, nd=3, ne=2, seed=9)
+    tree = generate_tree(N=6, branching=[2], nd=3, nu=7, seed=9)
+    fc = synthetic_forecaster(N=6, nd=3, nu=7, sim_horizon=5, seed=9)
+    cfg = synthetic_config(net, tree, max_iterations=20, step_size=1e-3)
+    ctrl = SmpcController(cfg, network=net, tree=tree, forecaster=fc,
+                          backend="pallas", warm_start=True)
+    ctrl.control_action(0)
+    ctrl.move_forward_in_time()
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(ctrl, path, sim_time=1)
+
+    import copy
+    ctrl2 = SmpcController(copy.deepcopy(cfg), network=net, tree=tree,
+                           forecaster=fc, backend="pallas",
+                           warm_start=True)
+    t = load_checkpoint(ctrl2, path)
+    assert t == 1
+    assert ctrl2._y_carry is not None
+    assert set(ctrl2._y_carry) == {"xi1", "xi2", "psi"}
+    u = ctrl2.control_action(t)          # resumes with the warm carry
+    assert np.isfinite(u).all()
