@@ -62,7 +62,7 @@ def _build(nx, nu, nd, ne, N, branching, *, seed=42, tune=True,
     return cfg, eng, fa, make_step, tree
 
 
-def _solver(cfg, eng, fa, *, batch=None, force_xla=False):
+def _solver(cfg, eng, fa, *, batch=None):
     import jax
 
     from rapidnet_tpu.engine.engine import XS_UPPER
@@ -73,7 +73,7 @@ def _solver(cfg, eng, fa, *, batch=None, force_xla=False):
               penalty_safety=cfg.penalty_safety,
               xs_upper=float(XS_UPPER), max_iterations=cfg.max_iterations)
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
-    if on_tpu and not force_xla:
+    if on_tpu:
         from rapidnet_tpu.ops import pallas_apg
         if pallas_apg.fits_vmem(pallas_apg.pad_constants(fa)):
             if batch:
@@ -81,11 +81,11 @@ def _solver(cfg, eng, fa, *, batch=None, force_xla=False):
             else:
                 run = pallas_apg.make_apg_pallas(fa, **kw)
             return (lambda steps: run(steps)), "pallas"
-    run = apg_mod.make_apg(prefix_stages=eng.factor_step().prefix_stages,
-                           **kw)
+    prefix_stages = eng.factor_step().prefix_stages
     if batch:
-        run = apg_mod.make_apg_batch(
-            prefix_stages=eng.factor_step().prefix_stages, **kw)
+        run = apg_mod.make_apg_batch(prefix_stages=prefix_stages, **kw)
+    else:
+        run = apg_mod.make_apg(prefix_stages=prefix_stages, **kw)
     jrun = jax.jit(run)
     return (lambda steps: jrun(fa, steps)), "xla"
 

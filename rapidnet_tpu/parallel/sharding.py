@@ -86,6 +86,31 @@ def shard_step_arrays(step: dict, mesh: Mesh) -> dict:
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), step, specs)
 
 
+
+def _broadcast_root_control(out: dict, fa: dict) -> dict:
+    """Stage-0 control lives in slot 0 (the scenario-axis-0 owner's
+    shard); project onto its preconditioned bounds and broadcast
+    (reference parity with src/SmpcController.cu:1647-1649)."""
+    u0 = jnp.clip(out["u"][0, 0], fa["umin"][0, 0], fa["umax"][0, 0])
+    idx = lax.axis_index(AXIS)
+    u0 = jnp.where(idx == 0, u0, jnp.zeros_like(u0))
+    out["control"] = lax.psum(u0, AXIS)
+    return out
+
+
+def _base_out_specs() -> dict:
+    """out_specs shared by every sharded solver (scenario axis = AXIS;
+    'control' and the diagnostics replicated)."""
+    return {
+        "control": P(),        # computed on the slot-0 owner, broadcast
+        "x": P(None, AXIS, None),
+        "u": P(None, AXIS, None),
+        "v": P(None, AXIS, None),
+        "y": {"xi": P(None, AXIS, None), "psi": P(None, AXIS, None)},
+        "primal_infeasibility": P(),
+    }
+
+
 def make_sharded_apg(mesh: Mesh, fa_template: dict, step_template: dict, *,
                      prefix_stages: tuple, inv_step: float, step_size: float,
                      penalty_state: float, penalty_safety: float,
@@ -103,26 +128,10 @@ def make_sharded_apg(mesh: Mesh, fa_template: dict, step_template: dict, *,
         axis_name=AXIS, project_control=False)
 
     in_specs = (_fa_specs(fa_template), _step_specs(step_template))
-    out_specs = {
-        "control": P(),            # computed on the slot-0 owner, broadcast
-        "x": P(None, AXIS, None),
-        "u": P(None, AXIS, None),
-        "v": P(None, AXIS, None),
-        "y": {"xi": P(None, AXIS, None), "psi": P(None, AXIS, None)},
-        "primal_infeasibility": P(),
-        "iterations": P(),
-    }
+    out_specs = dict(_base_out_specs(), iterations=P())
 
     def body(fa, step):
-        out = run_core(fa, step)
-        # stage-0 control lives in slot 0 (device 0's shard); project onto
-        # its preconditioned bounds and broadcast (reference parity with
-        # src/SmpcController.cu:1647-1649).
-        u0 = jnp.clip(out["u"][0, 0], fa["umin"][0, 0], fa["umax"][0, 0])
-        idx = lax.axis_index(AXIS)
-        u0 = jnp.where(idx == 0, u0, jnp.zeros_like(u0))
-        out["control"] = lax.psum(u0, AXIS)
-        return out
+        return _broadcast_root_control(run_core(fa, step), fa)
 
     fn = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
                    check_vma=False)
@@ -171,27 +180,13 @@ def make_sharded_apg_batch(mesh: Mesh, fa_template: dict,
     fa_specs = _fa_specs(fa_template)
     step_specs = jax.tree.map(add_batch, _step_specs(step_template))
     in_specs = (fa_specs, step_specs)
-    out_specs = {
-        "control": P(BATCH_AXIS, None),
-        "x": P(BATCH_AXIS, None, AXIS, None),
-        "u": P(BATCH_AXIS, None, AXIS, None),
-        "v": P(BATCH_AXIS, None, AXIS, None),
-        "y": {"xi": P(BATCH_AXIS, None, AXIS, None),
-              "psi": P(BATCH_AXIS, None, AXIS, None)},
-        "primal_infeasibility": P(BATCH_AXIS, None),
-        "iterations": P(BATCH_AXIS),
-    }
-
-    def solve_one(fa, step):
-        out = run_core(fa, step)
-        u0 = jnp.clip(out["u"][0, 0], fa["umin"][0, 0], fa["umax"][0, 0])
-        idx = lax.axis_index(AXIS)
-        u0 = jnp.where(idx == 0, u0, jnp.zeros_like(u0))
-        out["control"] = lax.psum(u0, AXIS)
-        return out
+    out_specs = jax.tree.map(add_batch,
+                             dict(_base_out_specs(), iterations=P()),
+                             is_leaf=lambda x: isinstance(x, P))
 
     def body(fa, steps):
-        return jax.vmap(lambda s: solve_one(fa, s))(steps)
+        return jax.vmap(
+            lambda s: _broadcast_root_control(run_core(fa, s), fa))(steps)
 
     fn = shard_map(body, mesh=mesh, in_specs=in_specs,
                    out_specs=out_specs, check_vma=False)
@@ -230,24 +225,10 @@ def make_sharded_quasi_newton(mesh: Mesh, fa_template: dict,
         axis_name=AXIS, project_control=False)
 
     in_specs = (_fa_specs(fa_template), _step_specs(step_template))
-    out_specs = {
-        "control": P(),
-        "x": P(None, AXIS, None),
-        "u": P(None, AXIS, None),
-        "v": P(None, AXIS, None),
-        "y": {"xi": P(None, AXIS, None), "psi": P(None, AXIS, None)},
-        "primal_infeasibility": P(),
-        "value_fbe": P(),
-        "tau": P(),
-    }
+    out_specs = dict(_base_out_specs(), value_fbe=P(), tau=P())
 
     def body(fa, step):
-        out = run_core(fa, step)
-        u0 = jnp.clip(out["u"][0, 0], fa["umin"][0, 0], fa["umax"][0, 0])
-        idx = lax.axis_index(AXIS)
-        u0 = jnp.where(idx == 0, u0, jnp.zeros_like(u0))
-        out["control"] = lax.psum(u0, AXIS)
-        return out
+        return _broadcast_root_control(run_core(fa, step), fa)
 
     fn = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
                    check_vma=False)

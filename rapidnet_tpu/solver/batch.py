@@ -139,8 +139,8 @@ class BatchedSmpcController:
         if self.backend != "xla":
             from rapidnet_tpu.ops import pallas_apg
             on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
-            fits = pallas_apg.fits_vmem(pallas_apg.pad_constants(self._fa))
-            if self.backend == "pallas" or (on_tpu and fits):
+            if self.backend == "pallas" or (on_tpu and pallas_apg.fits_vmem(
+                    pallas_apg.pad_constants(self._fa))):
                 self._use_pallas = True
                 if shared:
                     self._solver = pallas_apg.make_apg_pallas_batch_shared(
@@ -230,13 +230,13 @@ class BatchedSmpcController:
         d = np.stack([fc.nominal_demand[0] for fc in self.forecasters])
         x = (self.current_x + u @ self.network.matB.T +
              d @ self.network.matGd.T).astype(np.float32)
-        self._update_kpi(x, u, d)
+        self._update_kpi(x, u)
         self.current_x = x
         self.prev_u = u.copy()
         self.prev_demand = d
         return x
 
-    def _update_kpi(self, state, control, demand) -> None:
+    def _update_kpi(self, state, control) -> None:
         net, cfg = self.network, self.config
         prices = np.stack([fc.nominal_prices[0]
                            for fc in self.forecasters])

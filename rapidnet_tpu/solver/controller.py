@@ -23,6 +23,7 @@ Differences from the reference (intentional):
 from __future__ import annotations
 
 import json
+import sys
 import time
 from typing import Optional
 
@@ -206,7 +207,6 @@ class SmpcController:
         else:
             raise ValueError(f"unknown algorithm '{cfg.algorithm}'")
         self._fa = shard_factor_arrays(self._fa, self.mesh)
-        self._sharded_shard_step = None   # built lazily per step
         self._solver = run
 
     def _pick_pallas(self) -> bool:
@@ -238,10 +238,48 @@ class SmpcController:
             self.config.prev_demand)
         return _step_arrays(step)
 
+    def _coerce_y_carry(self) -> None:
+        """Translate a warm-start dual carry between backend layouts.
+
+        The XLA path stores the dual pair as {xi: (N, ns, 2nx), psi:
+        (N, ns, nu)}; the fused Pallas kernel as lane-padded {xi1, xi2:
+        (N, NSP, PX), psi: (N, NSP, PU)}.  A checkpoint saved under one
+        backend must resume under the other (utils/checkpoint.py).
+        """
+        y = self._y_carry
+        if y is None:
+            return
+        import jax.numpy as jnp
+        N, ns, nx = (np.asarray(self._fa["d1"]).shape)
+        nu = self._fa["g"].shape[-1]
+        if self._use_pallas and "xi" in y:       # XLA -> Pallas padding
+            from rapidnet_tpu.ops import pallas_apg
+            NSP = pallas_apg._pad_to(ns, 8)
+            PX = pallas_apg._pad_to(nx, pallas_apg.LANE)
+            PU = pallas_apg._pad_to(nu, pallas_apg.LANE)
+
+            def pad(a, P):
+                a = jnp.asarray(a, jnp.float32)
+                return jnp.pad(a, ((0, 0), (0, NSP - a.shape[1]),
+                                   (0, P - a.shape[2])))
+
+            xi = jnp.asarray(y["xi"])
+            self._y_carry = {"xi1": pad(xi[..., :nx], PX),
+                             "xi2": pad(xi[..., nx:], PX),
+                             "psi": pad(y["psi"], PU)}
+        elif not self._use_pallas and "xi1" in y:   # Pallas -> XLA
+            xi1 = jnp.asarray(y["xi1"])[:, :ns, :nx]
+            xi2 = jnp.asarray(y["xi2"])[:, :ns, :nx]
+            self._y_carry = {
+                "xi": jnp.concatenate([xi1, xi2], axis=-1),
+                "psi": jnp.asarray(y["psi"])[:, :ns, :nu]}
+
     def control_action(self, sim_time: int) -> np.ndarray:
         """Run one receding-horizon solve; returns the control u0 (nu,)."""
         if self._solver is None:
             self.initialise()
+        if self.warm_start:
+            self._coerce_y_carry()
         step = self.prepare_step(sim_time)
         t0 = time.perf_counter()
         if self.mesh is not None:
@@ -401,7 +439,7 @@ class SmpcController:
                 log["memoryLeakWarning"] = (
                     f"RUNTIME ERROR: MEMORY LEAKS ({growth} device "
                     f"buffers gained across {steps - 1} warm solves)")
-                print(log["memoryLeakWarning"], file=__import__("sys").stderr)
+                print(log["memoryLeakWarning"], file=sys.stderr)
         log["economicKpi"] = self.economic_kpi(steps)
         log["smoothKpi"] = self.smooth_kpi(steps)
         log["safetyKpi"] = self.safety_kpi(steps)

@@ -199,3 +199,40 @@ def test_checkpoint_pallas_dual_format_and_warm_resume(tmp_path):
     assert set(ctrl2._y_carry) == {"xi1", "xi2", "psi"}
     u = ctrl2.control_action(t)          # resumes with the warm carry
     assert np.isfinite(u).all()
+
+
+def test_checkpoint_cross_backend_warm_resume(tmp_path):
+    """A warm checkpoint saved under one backend resumes under the
+    other (the dual carry is translated between layouts)."""
+    import copy
+
+    from rapidnet_tpu.model.config import synthetic_config
+    from rapidnet_tpu.model.forecaster import synthetic_forecaster
+    from rapidnet_tpu.model.network import synthetic_network
+    from rapidnet_tpu.model.scenario_tree import generate_tree
+    from rapidnet_tpu.solver.controller import SmpcController
+    from rapidnet_tpu.utils.checkpoint import (load_checkpoint,
+                                               save_checkpoint)
+
+    net = synthetic_network(nx=4, nu=7, nd=3, ne=2, seed=9)
+    tree = generate_tree(N=6, branching=[2], nd=3, nu=7, seed=9)
+    cfg = synthetic_config(net, tree, max_iterations=20, step_size=1e-3)
+
+    def fc():
+        return synthetic_forecaster(N=6, nd=3, nu=7, sim_horizon=5, seed=9)
+
+    for src, dst in (("xla", "pallas"), ("pallas", "xla")):
+        ctrl = SmpcController(copy.deepcopy(cfg), network=net, tree=tree,
+                              forecaster=fc(), backend=src,
+                              warm_start=True)
+        ctrl.control_action(0)
+        ctrl.move_forward_in_time()
+        path = str(tmp_path / f"ckpt_{src}")
+        save_checkpoint(ctrl, path, sim_time=1)
+
+        ctrl2 = SmpcController(copy.deepcopy(cfg), network=net, tree=tree,
+                               forecaster=fc(), backend=dst,
+                               warm_start=True)
+        t = load_checkpoint(ctrl2, path)
+        u = ctrl2.control_action(t)     # must not KeyError
+        assert np.isfinite(u).all()

@@ -105,6 +105,8 @@ def test_batched_closed_loop_matches_sequential(problem):
                                    log["economicKpi"], rtol=1e-5)
         np.testing.assert_allclose(blog["smoothKpi"][b],
                                    log["smoothKpi"], rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(blog["safetyKpi"][b],
+                                   log["safetyKpi"], rtol=1e-5, atol=1e-7)
         np.testing.assert_allclose(blog["networkKpi"][b],
                                    log["networkKpi"], rtol=1e-5)
 
