@@ -1,0 +1,40 @@
+"""The benchmark harnesses stay runnable (CPU, tiny budgets).
+
+bench.py and bench_ladder.py are the driver-facing measurement
+surfaces; these smoke tests keep them from rotting between TPU runs.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_ladder_smoke(tmp_path):
+    out = tmp_path / "ladder.json"
+    cp = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bench_ladder.py"),
+         "--platform", "cpu", "--max-iter", "5", "--repeats", "1",
+         "--out", str(out)],
+        capture_output=True, text=True, timeout=900, cwd=ROOT)
+    assert cp.returncode == 0, cp.stderr[-2000:]
+    data = json.loads(out.read_text())
+    names = [r["config"] for r in data["rows"]]
+    assert any("1_toy" in n for n in names)
+    assert any("5_1024scenario" in n for n in names)
+    assert all(r["solves_per_s"] > 0 for r in data["rows"])
+
+
+def test_bench_measure_smoke(monkeypatch):
+    """bench.measure() runs on CPU with a reduced budget and returns
+    the full metric dict (single + batched)."""
+    import bench as B
+    monkeypatch.setattr(B, "MAX_ITER", 5)
+    monkeypatch.setattr(B, "BATCH", 2)
+    res = B.measure(repeats=1)
+    assert res["solves_per_s"] > 0
+    assert res["batch_solves_per_s"] > 0
+    assert res["tree_nodes"] == 556
+    assert "xla" in res["paths_ms"]
