@@ -399,3 +399,19 @@ def make_solver(*, algorithm: str, prefix_stages: tuple, inv_step: float,
         }
 
     return run
+
+
+def make_solver_batch(**kwargs):
+    """Batched FBE/NAMA: B independent instances in one program
+    (``jax.vmap`` over the step dict's leading axis; factor arrays
+    shared).
+
+    Note: under vmap the backtracking line searches run in masked
+    lockstep (every instance evaluates until all are done, converged
+    lanes keep their values via select), so per-instance trajectories
+    can differ from a standalone solve at the f32 rounding level
+    (~1e-4 on controls) — well inside the reference's golden
+    tolerances (src/test/TestSmpcController.cu:31-43).
+    """
+    run = make_solver(**kwargs)
+    return jax.vmap(run, in_axes=(None, 0))

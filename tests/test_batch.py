@@ -213,3 +213,23 @@ def test_stage_scan_path_matches_cumsum_path(problem, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got["primal_infeasibility"]),
         ref["primal_infeasibility"], rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("algorithm", ["globalFbeAlgorithm",
+                                       "namaAlgorithm"])
+def test_batched_quasi_newton_matches_per_instance(problem, algorithm):
+    """vmapped FBE/NAMA solves track standalone solves (line searches
+    run in masked lockstep under vmap -> f32-level trajectory drift)."""
+    from rapidnet_tpu.solver import quasi_newton
+    kw = dict({k: v for k, v in problem["kw"].items()
+               if k != "max_iterations"},
+              max_iterations=15, lbfgs_buffer_size=4,
+              algorithm=algorithm)
+    single = jax.jit(quasi_newton.make_solver(**kw))
+    batched = jax.jit(quasi_newton.make_solver_batch(**kw))
+    out_b = batched(problem["fa"], _stack(problem["steps"]))
+    for b, step in enumerate(problem["steps"]):
+        ref = single(problem["fa"], step)
+        np.testing.assert_allclose(np.asarray(out_b["control"])[b],
+                                   np.asarray(ref["control"]),
+                                   rtol=1e-2, atol=2e-3)
