@@ -35,6 +35,7 @@ from rapidnet_tpu.model.forecaster import Forecaster
 from rapidnet_tpu.model.config import SmpcConfig
 from rapidnet_tpu.engine.engine import Engine
 from rapidnet_tpu.solver.controller import SmpcController
+from rapidnet_tpu.solver.batch import BatchedSmpcController
 
 __all__ = [
     "DwnNetwork",
@@ -43,4 +44,5 @@ __all__ = [
     "SmpcConfig",
     "Engine",
     "SmpcController",
+    "BatchedSmpcController",
 ]
