@@ -48,6 +48,40 @@ from rapidnet_tpu.model.scenario_tree import ScenarioTree
 XS_UPPER = np.frombuffer(np.array([0x7f7f7f7f], dtype=np.uint32).tobytes(),
                          dtype=np.float32)[0]
 
+# Conditioning limit for the reduced Hessian L'WL.  The online
+# iteration runs in f32, so kappa within a few orders of 1/eps_f32
+# (~8.4e6) already loses every significant digit of v = Omega @ (...).
+WBAR_MAX_CONDITION = 1e7
+
+
+def _guarded_inverse(Wbar: np.ndarray) -> np.ndarray:
+    """inv(L'WL) with explicit conditioning diagnostics.
+
+    Reference counterpart: the `info` checks after the batched LU
+    inverse (src/Engine.cu:1335-1353), which catch only exact
+    singularity.  Here a near-singular reduced Hessian (rank-deficient
+    costW on the null space of E, or a degenerate basis L) raises with
+    a remediation hint instead of silently producing garbage controls.
+    """
+    Wbar64 = np.asarray(Wbar, np.float64)
+    cond = np.linalg.cond(Wbar64)
+    if not np.isfinite(cond) or cond > WBAR_MAX_CONDITION:
+        raise ValueError(
+            f"reduced Hessian L'WL is near-singular (condition number "
+            f"{cond:.3e} > {WBAR_MAX_CONDITION:.0e}); the dual solvers "
+            "run in float32 and would produce garbage. Remedies: make "
+            "costW positive definite on null(E) (e.g. add a small "
+            "ridge costW += eps*I), or check matL for (near-)dependent "
+            "columns.")
+    inv64 = np.linalg.inv(Wbar64)
+    resid = np.abs(Wbar64 @ inv64 - np.eye(Wbar.shape[0])).max()
+    if resid > 1e-6 * max(cond, 1.0):
+        raise ValueError(
+            f"inverse of L'WL failed verification (|Wbar@inv - I|_max "
+            f"= {resid:.3e}, condition {cond:.3e}); costW is likely "
+            "indefinite on null(E)")
+    return inv64.astype(np.float32)
+
 
 @dataclass
 class FactorData:
@@ -122,8 +156,7 @@ class Engine:
         W = np.asarray(config.cost_w, np.float32)
         self.Wv = (W @ self.L).astype(np.float32)               # (nu, nv)
         self.Wbar = (self.L.T @ self.Wv).astype(np.float32)     # (nv, nv)
-        self.invWbar = np.linalg.inv(
-            self.Wbar.astype(np.float64)).astype(np.float32)
+        self.invWbar = _guarded_inverse(self.Wbar)
         self.Bb = (self.L.T @ network.matB.T).astype(np.float32)  # (nv, nx)
         self.M1 = (self.invWbar @ self.Bb).astype(np.float32)
         self.M2 = (self.invWbar @ self.L.T).astype(np.float32)

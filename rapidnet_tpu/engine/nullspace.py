@@ -48,4 +48,8 @@ def validate_nullspace(matE: np.ndarray, matEd: np.ndarray,
     if err_null > atol or err_part > atol:
         raise ValueError(
             f"null-space elimination invalid: |E L|max={err_null:.2e}, "
-            f"|E Lhat + Ed|max={err_part:.2e}")
+            f"|E Lhat + Ed|max={err_part:.2e} (tolerance {atol:.0e}). "
+            "A config-provided matL/matLhat probably does not match "
+            "this network's matE/matEd — regenerate them, or drop the "
+            "matL/matLhat keys so the SVD-based basis is used "
+            "(engine/nullspace.nullspace_elimination).")

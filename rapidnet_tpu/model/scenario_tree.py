@@ -170,16 +170,29 @@ class ScenarioTree:
 
         # prefix aggregation matrices: C_s[i, j] = 1 when stage-s slot j is
         # the representative slot of a child of the node at stage s-1 slot i
+        # (native C++ builder for large trees; vectorised numpy fallback)
+        try:
+            from rapidnet_tpu.native import get_lib
+            lib = get_lib()
+        except Exception:
+            lib = None
+        anc_c = np.ascontiguousarray(self.ancestor, np.int32)
+        nos_c = np.ascontiguousarray(node_of_slot, np.int32)
+        rep_c = np.ascontiguousarray(rep > 0, np.uint8)
         self.prefix_agg = {}
         for s in range(1, N):
             if self.nodes_per_stage[s] == self.nodes_per_stage[s - 1]:
                 continue
-            C = np.zeros((ns, ns), np.float32)
-            parent_of_slot = self.ancestor[node_of_slot[s]]
-            for i in range(ns):
-                mask = (parent_of_slot == node_of_slot[s - 1, i]) \
-                    & (rep[s] > 0)
-                C[i, mask] = 1.0
+            if lib is not None:
+                C = np.zeros((ns, ns), np.float32)
+                lib.tree_prefix_agg(anc_c.ctypes.data, nos_c.ctypes.data,
+                                    rep_c.ctypes.data, ns, s,
+                                    C.ctypes.data)
+            else:
+                parent_of_slot = self.ancestor[node_of_slot[s]]
+                C = ((node_of_slot[s - 1][:, None] ==
+                      parent_of_slot[None, :]) &
+                     (rep[s] > 0)[None, :]).astype(np.float32)
             self.prefix_agg[s] = C
 
     def _fan_layout_native(self):
@@ -359,16 +372,10 @@ def generate_tree(*, N: int, branching: list[int] | tuple[int, ...],
     ancestor = np.asarray(ancestor, np.int32)
     stage = np.asarray(stage, np.int32)
 
-    # node probabilities: uniform split among siblings
+    # node probabilities: random sibling weights, normalised per parent
     prob = np.zeros(n_nodes, np.float64)
     prob[0] = 1.0
-    for node in range(1, n_nodes):
-        pass
-    counts = np.bincount(ancestor[1:], minlength=n_nodes)
-    for node in range(1, n_nodes):
-        p = ancestor[node]
-        w = rng.uniform(0.5, 1.5)
-        prob[node] = w
+    prob[1:] = rng.uniform(0.5, 1.5, size=n_nodes - 1)
     # normalise siblings then multiply down the tree
     for node in range(n_nodes):
         ch = np.flatnonzero(ancestor == node)

@@ -117,3 +117,31 @@ def test_factor_matrices(ref_engine, golden):
     # Bbar is per-scenario (ns copies of L'B'); the fixture stores it
     # transposed relative to the other factor matrices
     _cmp_nodes(golden["Bbar"], t["Bbar"], np.arange(1), transpose=False)
+
+
+def test_near_singular_costw_raises():
+    """Conditioning guard on inv(L'WL) (reference checks LU `info` after
+    the batched inverse, src/Engine.cu:1335-1353 — but only for exact
+    singularity; we also reject hopeless-in-f32 conditioning)."""
+    import dataclasses
+
+    from rapidnet_tpu.engine.engine import Engine
+    from rapidnet_tpu.model.config import synthetic_config
+    from rapidnet_tpu.model.network import synthetic_network
+    from rapidnet_tpu.model.scenario_tree import generate_tree
+
+    net = synthetic_network(nx=5, nu=8, nd=4, ne=2, seed=0)
+    tree = generate_tree(N=6, branching=[2], nd=4, nu=8, seed=0)
+    cfg = synthetic_config(net, tree, max_iterations=10)
+
+    # well-conditioned costW passes
+    Engine(net, tree, cfg)
+
+    # costW with a ~1e-12 eigenvalue -> L'WL condition ~1e12
+    W = 2.0 * np.eye(net.nu, dtype=np.float32)
+    W[0, 0] = 2e-12
+    W[1, 1] = 2e-12   # two tiny eigvals so some survive the projection
+    W[2, 2] = 2e-12
+    bad = dataclasses.replace(cfg, cost_w=W)
+    with pytest.raises(ValueError, match="near-singular"):
+        Engine(net, tree, bad)

@@ -56,6 +56,29 @@ def test_native_json_speed(native_lib, tmp_path):
     assert t_cc < t_py * 1.2, (t_cc, t_py)  # at least competitive
 
 
+def test_native_tree_prefix_agg(native_lib):
+    """C++ prefix-aggregation builder == the per-slot Python definition."""
+    from rapidnet_tpu.model.scenario_tree import generate_tree
+    tree = generate_tree(N=10, branching=[3, 2, 2], nd=4, nu=6, seed=11)
+    assert tree.prefix_agg, "tree should have branching prefix stages"
+    for s, C in tree.prefix_agg.items():
+        parent_of_slot = tree.ancestor[tree.node_of_slot[s]]
+        Cref = np.zeros_like(C)
+        for i in range(tree.ns):
+            mask = ((parent_of_slot == tree.node_of_slot[s - 1, i]) &
+                    (tree.rep[s] > 0))
+            Cref[i, mask] = 1.0
+        np.testing.assert_array_equal(C, Cref, err_msg=f"stage {s}")
+        # each representative stage-s slot is claimed by exactly the
+        # slots of its parent node (one contiguous duplicated run)
+        reps = tree.rep[s] > 0
+        claims = C.sum(0)[reps]
+        assert (claims >= 1).all() and (claims == claims).all()
+        # restricted to representative parent slots it is one-to-one
+        rows = tree.rep[s - 1] > 0
+        np.testing.assert_array_equal(C[rows].sum(0), tree.rep[s])
+
+
 @requires_reference
 def test_native_tree_fan_layout(native_lib, ref_problem):
     """C++ fan layout == pure-Python fan layout on the reference tree."""
