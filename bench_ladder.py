@@ -10,12 +10,24 @@ hardware is present and writes LADDER.json:
      single + batched throughput — bench.py's headline config)
   5. 1024-scenario tree (24.6k nodes), H=24            (default backend;
      plus scenario-weak-scaling efficiency vs config 4's per-scenario
-     rate, and a sharded-mesh execution check)
+     rate, a bf16-momentum variant, and a sharded-mesh execution check:
+     the same solve through shard_map on a 1-device mesh, quantifying
+     the shard_map overhead on the real chip)
 
-Multi-host hardware is not available in this environment; config 5's
-cross-host path is validated functionally by tests/test_distributed.py
-(2 OS processes, gloo) and the virtual-mesh tests, and its throughput
-is measured on the single real chip.
+Multi-host / multi-chip hardware is not available in this environment;
+config 5's cross-host path is validated functionally by
+tests/test_distributed.py (2 OS processes, gloo) and the virtual-mesh
+tests.  The ladder supplements the single-chip numbers with the
+evidence this environment CAN produce:
+
+  * ``device_scaling``: the 1024-scenario solve sharded over 1/2/4/8
+    virtual CPU devices (subprocess with
+    --xla_force_host_platform_device_count).  Virtual devices share
+    the host's physical cores, so ideal scaling is flat ms (the work
+    is constant and the cores are shared); what the table shows is
+    the *overhead* the mesh partitioning + collectives add.
+  * ``collectives``: per-iteration collective ops/bytes of the
+    compiled 8-device program, read from the optimized HLO.
 
 Usage: python bench_ladder.py [--repeats 5] [--out LADDER.json]
 """
@@ -24,11 +36,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 MAX_ITER = 500
+CONFIG5 = dict(dims=(63, 114, 88, 17), N=24, branching=[8, 8, 4, 4])
 
 
 def _build(nx, nu, nd, ne, N, branching, *, seed=42, tune=True,
@@ -62,18 +78,23 @@ def _build(nx, nu, nd, ne, N, branching, *, seed=42, tune=True,
     return cfg, eng, fa, make_step, tree
 
 
-def _solver(cfg, eng, fa, *, batch=None):
+def _solver_kw(cfg):
+    from rapidnet_tpu.engine.engine import XS_UPPER
+    return dict(inv_step=1.0 / cfg.step_size, step_size=cfg.step_size,
+                penalty_state=cfg.penalty_state,
+                penalty_safety=cfg.penalty_safety,
+                xs_upper=float(XS_UPPER),
+                max_iterations=cfg.max_iterations)
+
+
+def _solver(cfg, eng, fa, *, batch=None, dual_dtype=None):
     import jax
 
-    from rapidnet_tpu.engine.engine import XS_UPPER
     from rapidnet_tpu.solver import apg as apg_mod
 
-    kw = dict(inv_step=1.0 / cfg.step_size, step_size=cfg.step_size,
-              penalty_state=cfg.penalty_state,
-              penalty_safety=cfg.penalty_safety,
-              xs_upper=float(XS_UPPER), max_iterations=cfg.max_iterations)
+    kw = _solver_kw(cfg)
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
-    if on_tpu:
+    if on_tpu and dual_dtype is None:
         from rapidnet_tpu.ops import pallas_apg
         if pallas_apg.fits_vmem(pallas_apg.pad_constants(fa)):
             if batch:
@@ -81,6 +102,8 @@ def _solver(cfg, eng, fa, *, batch=None):
             else:
                 run = pallas_apg.make_apg_pallas(fa, **kw)
             return (lambda steps: run(steps)), "pallas"
+    if dual_dtype is not None:
+        kw["dual_dtype"] = dual_dtype
     prefix_stages = eng.factor_step().prefix_stages
     if batch:
         run = apg_mod.make_apg_batch(prefix_stages=prefix_stages, **kw)
@@ -109,12 +132,14 @@ def _rand_x0(cfg, rng):
 
 
 def run_config(name, dims, N, branching, repeats, *, batch=None,
-               tune=True):
+               tune=True, dual_dtype=None, problem=None):
     import jax.numpy as jnp
     rng = np.random.default_rng(7)
-    cfg, eng, fa, make_step, tree = _build(*dims, N, branching, tune=tune,
-                                           max_iter=MAX_ITER)
-    fn, path = _solver(cfg, eng, fa, batch=batch)
+    if problem is None:
+        problem = _build(*dims, N, branching, tune=tune,
+                         max_iter=MAX_ITER)
+    cfg, eng, fa, make_step, tree = problem
+    fn, path = _solver(cfg, eng, fa, batch=batch, dual_dtype=dual_dtype)
     if batch:
         steps = [make_step(_rand_x0(cfg, rng)) for _ in range(batch)]
         arg = {k: jnp.stack([s[k] for s in steps]) for k in steps[0]}
@@ -130,7 +155,137 @@ def run_config(name, dims, N, branching, repeats, *, batch=None,
            "batch": batch or 1, "p50_ms": round(ms, 3),
            "solves_per_s": round(solves_s, 3)}
     print(json.dumps(rec))
+    return rec, problem
+
+
+def sharded_overhead_row(problem, repeats):
+    """Config-5 solve through shard_map on a 1-device mesh: isolates
+    the shard_map partitioning/dispatch overhead vs the plain jit path
+    on the same chip (the multi-chip evidence this environment allows;
+    VERDICT round-1 item 4a)."""
+    import jax
+
+    from rapidnet_tpu.parallel import (make_mesh, make_sharded_apg,
+                                       shard_factor_arrays,
+                                       shard_step_arrays)
+    cfg, eng, fa, make_step, tree = problem
+    rng = np.random.default_rng(7)
+    step = make_step(_rand_x0(cfg, rng))
+    mesh = make_mesh(1)
+    fa_sh = shard_factor_arrays(fa, mesh)
+    step_sh = shard_step_arrays(step, mesh)
+    fn = make_sharded_apg(mesh, fa, step,
+                          prefix_stages=eng.factor_step().prefix_stages,
+                          **_solver_kw(cfg))
+    jax.block_until_ready(fn(fa_sh, step_sh))      # compile + warm
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(fa_sh, step_sh))
+        ts.append(time.perf_counter() - t0)
+    ms = float(np.median(ts) * 1e3)
+    rec = {"config": "5_1024scenario_H24_shardmap_1dev",
+           "nodes": int(tree.n_nodes), "scenarios": int(tree.ns),
+           "iters": MAX_ITER, "path": "xla+shard_map", "batch": 1,
+           "p50_ms": round(ms, 3), "solves_per_s": round(1e3 / ms, 3)}
+    print(json.dumps(rec))
     return rec
+
+
+# ----------------------------------------------------------------------
+# virtual-mesh scaling + collective-bytes evidence (subprocess: the
+# host-platform device count must be fixed before the backend starts)
+
+def _device_scaling_child(n_dev: int, iters: int) -> None:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    assert len(jax.devices()) >= n_dev, (len(jax.devices()), n_dev)
+    import re
+
+    from rapidnet_tpu.parallel import (make_mesh, make_sharded_apg,
+                                       shard_factor_arrays,
+                                       shard_step_arrays)
+    cfg, eng, fa, make_step, tree = _build(
+        *CONFIG5["dims"], CONFIG5["N"], CONFIG5["branching"],
+        max_iter=iters)
+    rng = np.random.default_rng(7)
+    step = make_step(_rand_x0(cfg, rng))
+    mesh = make_mesh(n_dev)
+    fa_sh = shard_factor_arrays(fa, mesh)
+    step_sh = shard_step_arrays(step, mesh)
+    fn = make_sharded_apg(mesh, fa, step,
+                          prefix_stages=eng.factor_step().prefix_stages,
+                          **_solver_kw(cfg))
+    jax.block_until_ready(fn(fa_sh, step_sh))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(fa_sh, step_sh))
+        ts.append(time.perf_counter() - t0)
+    ms = float(np.median(ts) * 1e3)
+    out = {"n_devices": n_dev, "p50_ms": round(ms, 3),
+           "ms_per_iter": round(ms / iters, 4)}
+
+    # per-iteration collective census: compile a ONE-iteration sharded
+    # solve and count every collective in its optimized HLO — each
+    # per-iteration collective appears exactly once (docs/multihost.md
+    # evidence vs the "few kB per iteration" claim)
+    if n_dev > 1:
+        try:
+            kw1 = dict(_solver_kw(cfg), max_iterations=1)
+            fn1 = make_sharded_apg(
+                mesh, fa, step,
+                prefix_stages=eng.factor_step().prefix_stages, **kw1)
+            import jax as _jax
+            hlo = _jax.jit(lambda a, b: fn1(a, b)).lower(
+                fa_sh, step_sh).compile().as_text()
+            ops = {}
+            bytes_total = 0
+            # lines like: %all-gather.3 = f32[24,1024,63] all-gather(...)
+            pat = re.compile(
+                r"(f32|bf16)\[([\d,]*)\][^\n=]*?\b(all-gather|"
+                r"all-reduce|collective-permute|reduce-scatter)\(")
+            for m in pat.finditer(hlo):
+                dt, shape, op = m.groups()
+                n = int(np.prod([int(x) for x in shape.split(",")
+                                 if x])) if shape else 1
+                ops[op] = ops.get(op, 0) + 1
+                bytes_total += (2 if dt == "bf16" else 4) * n
+            out["collectives_per_iteration"] = ops
+            out["collective_bytes_per_iteration"] = int(bytes_total)
+        except Exception as exc:  # noqa: BLE001
+            out["collectives_error"] = str(exc)[:200]
+    print("CHILD:" + json.dumps(out))
+
+
+def device_scaling_table(iters: int = 50) -> list:
+    """Run the 1024-scenario sharded solve at 1/2/4/8 virtual CPU
+    devices in fresh subprocesses (XLA_FLAGS must precede backend
+    start).  Virtual devices share physical cores: constant total work
+    on the same silicon means ideal is FLAT ms; deviation measures
+    partitioning + collective overhead."""
+    table = []
+    for n in (1, 2, 4, 8):
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS=(os.environ.get("XLA_FLAGS", "") +
+                       f" --xla_force_host_platform_device_count={n}"))
+        cp = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--device-scaling-child", str(n),
+             "--max-iter", str(iters)],
+            capture_output=True, text=True, timeout=1800, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = [ln for ln in cp.stdout.splitlines()
+                if ln.startswith("CHILD:")]
+        if cp.returncode != 0 or not line:
+            table.append({"n_devices": n,
+                          "error": (cp.stderr or cp.stdout)[-300:]})
+            continue
+        table.append(json.loads(line[-1][len("CHILD:"):]))
+        print(json.dumps(table[-1]))
+    return table
 
 
 def main(argv=None):
@@ -141,8 +296,16 @@ def main(argv=None):
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     ap.add_argument("--max-iter", type=int, default=MAX_ITER,
                     help="iteration budget (500 = reference parity)")
+    ap.add_argument("--device-scaling-child", type=int, default=None,
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--skip-device-scaling", action="store_true",
+                    help="skip the 1/2/4/8 virtual-CPU-mesh subprocess "
+                         "sweep (slow; evidence-only)")
     args = ap.parse_args(argv)
     MAX_ITER = args.max_iter
+    if args.device_scaling_child is not None:
+        _device_scaling_child(args.device_scaling_child, MAX_ITER)
+        return 0
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -156,38 +319,57 @@ def main(argv=None):
     # 1: deterministic toy, CPU path mandated by BASELINE
     if jax.default_backend() == "cpu":
         rows.append(run_config("1_toy_deterministic_H8_cpu",
-                               (3, 6, 4, 2), 8, [1], rep, tune=False))
+                               (3, 6, 4, 2), 8, [1], rep, tune=False)[0])
     else:  # measure on-chip as well; CPU-path variant covered in tests
         rows.append(run_config("1_toy_deterministic_H8",
-                               (3, 6, 4, 2), 8, [1], rep, tune=False))
+                               (3, 6, 4, 2), 8, [1], rep, tune=False)[0])
     # 2: small binary tree, H=12
     rows.append(run_config("2_binary_tree_H12", (3, 6, 4, 2), 12, [2],
-                           rep, tune=False))
+                           rep, tune=False)[0])
     # 3: Barcelona-subset, ~100-node tree, H=24
     rows.append(run_config("3_barcelona_subset_100node_H24",
-                           (20, 35, 25, 5), 24, [4], rep))
+                           (20, 35, 25, 5), 24, [4], rep)[0])
     # 4: Barcelona-scale, 556-node tree — single and batched
-    rows.append(run_config("4_barcelona_556node_H24",
-                           (63, 114, 88, 17), 24, [5, 5], rep))
+    r4, prob4 = run_config("4_barcelona_556node_H24",
+                           (63, 114, 88, 17), 24, [5, 5], rep)
+    rows.append(r4)
     rows.append(run_config("4_barcelona_556node_H24_batch16",
-                           (63, 114, 88, 17), 24, [5, 5], rep, batch=16))
-    # 5: 1024-scenario tree
-    r4 = rows[-2]
-    r5 = run_config("5_1024scenario_H24", (63, 114, 88, 17), 24,
-                    [8, 8, 4, 4], max(2, rep // 2))
+                           (63, 114, 88, 17), 24, [5, 5], rep, batch=16,
+                           problem=prob4)[0])
+    # 5: 1024-scenario tree (one build reused across the variants)
+    rep5 = max(2, rep // 2)
+    r5, prob5 = run_config("5_1024scenario_H24", *_cfg5_args(), rep5)
     rows.append(r5)
+    # 5b: bf16 Nesterov-momentum storage (HBM-traffic variant,
+    # docs/roofline.md — the config-5 regime is bandwidth-bound)
+    rows.append(run_config("5_1024scenario_H24_bf16z", *_cfg5_args(),
+                           rep5, dual_dtype="bfloat16",
+                           problem=prob5)[0])
+    # 5c: same solve through shard_map on a 1-device mesh
+    # (quantifies shard_map overhead on the real chip)
+    try:
+        rows.append(sharded_overhead_row(prob5, rep5))
+    except Exception as exc:  # noqa: BLE001
+        rows.append({"config": "5_1024scenario_H24_shardmap_1dev",
+                     "error": str(exc)[:300]})
     # scenario-weak-scaling efficiency: per-scenario solve rate at
     # ns=1024 vs ns=25 (config 4) on the same chip
     eff = ((r5["scenarios"] / r5["p50_ms"]) /
            (r4["scenarios"] / r4["p50_ms"]))
     results["weak_scaling_1024_vs_25_scenarios"] = round(float(eff), 3)
     results["rows"] = rows
+    if not args.skip_device_scaling:
+        results["device_scaling"] = device_scaling_table()
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps({"ladder": "done",
                       "weak_scaling_eff": results[
                           "weak_scaling_1024_vs_25_scenarios"]}))
     return 0
+
+
+def _cfg5_args():
+    return (CONFIG5["dims"], CONFIG5["N"], CONFIG5["branching"])
 
 
 if __name__ == "__main__":

@@ -36,7 +36,8 @@ ITER_UNROLL = 4
 def make_apg(*, prefix_stages: tuple, inv_step: float, step_size: float,
              penalty_state: float, penalty_safety: float, xs_upper: float,
              max_iterations: int, axis_name: str | None = None,
-             project_control: bool = True, tolerance: float | None = None):
+             project_control: bool = True, tolerance: float | None = None,
+             dual_dtype=jnp.float32):
     """Build the jittable APG solve function.
 
     Returns fn(fa, step, y0=None) -> dict with final x, u, v, duals and
@@ -46,16 +47,26 @@ def make_apg(*, prefix_stages: tuple, inv_step: float, step_size: float,
     ``fa`` is the factor-array dict (fan layout), ``step`` the per-step
     dict with beta/uhat/e/x0/prev_u/prev_uhat, ``y0`` an optional dual
     warm start {"xi": ..., "psi": ...}.
+
+    ``dual_dtype``: storage dtype of the Nesterov momentum difference
+    z = y - y_prev (the iterate y itself stays f32; all arithmetic is
+    f32).  ``jnp.bfloat16`` cuts a third of the dual-carry HBM stream
+    of the 1000+-scenario bandwidth-bound regime (docs/roofline.md).
+    z's magnitude tracks step*residual and decays with convergence, so
+    its 8-bit-mantissa relative error stays harmless — unlike storing
+    y/y_prev themselves in bf16, which measurably stalls convergence
+    (see docs/roofline.md negative results).
     """
+    f32 = jnp.float32
 
     def one_iteration(fa, step, carry):
-        y, y_prev, th0, th1 = (carry["y"], carry["y_prev"],
-                               carry["th0"], carry["th1"])
+        y, z, th0, th1 = (carry["y"], carry["z"], carry["th0"],
+                          carry["th1"])
         lam = th1 * (1.0 / th0 - 1.0)
-        # w = (1+lam) y - lam y_prev   (dual extrapolation,
-        # src/SmpcController.cu:544-552)
-        w_xi = (1.0 + lam) * y["xi"] - lam * y_prev["xi"]
-        w_psi = (1.0 + lam) * y["psi"] - lam * y_prev["psi"]
+        # w = (1+lam) y - lam y_prev = y + lam z   (dual extrapolation,
+        # src/SmpcController.cu:544-552); compute in f32
+        w_xi = y["xi"] + lam * z["xi"].astype(f32)
+        w_psi = y["psi"] + lam * z["psi"].astype(f32)
 
         sol = ss.solve_step(
             fa, w_xi, w_psi, step["beta"], step["uhat"], step["e"],
@@ -73,13 +84,16 @@ def make_apg(*, prefix_stages: tuple, inv_step: float, step_size: float,
 
         y_new = {"xi": w_xi + step_size * res_xi,
                  "psi": w_psi + step_size * res_psi}
+        # z+ = y+ - y = lam z + step res (f32), stored in dual_dtype
+        z_new = {k: (y_new[k] - y[k]).astype(dual_dtype) for k in y}
         th0_new = th1
         th1_new = 0.5 * (jnp.sqrt(th1 ** 4 + 4.0 * th1 ** 2) - th1 ** 2)
         infeas = ss.signed_max_abs(res_xi, res_psi, axis_name)
-        new_carry = {"y": y_new, "y_prev": y, "th0": th0_new,
+        mag = ss.max_abs_residual(res_xi, res_psi, axis_name)
+        new_carry = {"y": y_new, "z": z_new, "th0": th0_new,
                      "th1": th1_new, "x": sol["x"], "u": sol["u"],
                      "v": sol["v"]}
-        return new_carry, infeas
+        return new_carry, (infeas, mag)
 
     def init_carry(fa, step, y0):
         shp = step["beta"].shape[:2]   # (N, ns)
@@ -88,8 +102,9 @@ def make_apg(*, prefix_stages: tuple, inv_step: float, step_size: float,
         if y0 is None:
             y0 = {"xi": jnp.zeros(shp + (2 * nxd,), jnp.float32),
                   "psi": jnp.zeros(shp + (nu,), jnp.float32)}
+        z0 = {k: jnp.zeros_like(v, dual_dtype) for k, v in y0.items()}
         return {
-            "y": y0, "y_prev": y0,
+            "y": y0, "z": z0,
             "th0": jnp.float32(1.0), "th1": jnp.float32(1.0),
             "x": jnp.zeros(shp + (nxd,), jnp.float32),
             "u": jnp.zeros(shp + (nu,), jnp.float32),
@@ -119,7 +134,8 @@ def make_apg(*, prefix_stages: tuple, inv_step: float, step_size: float,
             carry = init_carry(fa, step, y0)
 
             def body(c, _):
-                return one_iteration(fa, step, c)
+                c, (inf, _) = one_iteration(fa, step, c)
+                return c, inf
 
             carry, infeas = lax.scan(body, carry, None,
                                      length=max_iterations,
@@ -137,8 +153,8 @@ def make_apg(*, prefix_stages: tuple, inv_step: float, step_size: float,
 
             def body(state):
                 it, c, infs, _ = state
-                c, inf = one_iteration(fa, step, c)
-                return it + 1, c, infs.at[it].set(inf), jnp.abs(inf)
+                c, (inf, mag) = one_iteration(fa, step, c)
+                return it + 1, c, infs.at[it].set(inf), mag
 
             it, carry, infs, _ = lax.while_loop(
                 cond, body,

@@ -54,21 +54,25 @@ class BatchedSmpcController:
                  x0_batch: np.ndarray,
                  backend: str = "auto",
                  warm_start: bool = False,
+                 tolerance: Optional[float] = None,
                  mesh=None):
         """mesh: optional 2-D ('batch', 'scen') Mesh
         (parallel.make_mesh_2d) — instances shard the batch axis and
         each instance's scenario tree shards the scenario axis (dp x
         sp over a pod slice)."""
-        if config.algorithm != ALGORITHM_APG:
-            raise ValueError("batched closed loops support the APG "
-                             "algorithm (the reference default)")
         if backend not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown backend '{backend}'")
+        if config.algorithm != ALGORITHM_APG and backend == "pallas":
+            raise ValueError("the fused Pallas kernel is APG-only; "
+                             "FBE/NAMA batched solves run on the XLA "
+                             "path (backend='xla' or 'auto')")
+        if tolerance is not None and backend == "pallas":
+            raise ValueError("backend='pallas' does not support "
+                             "tolerance-based early termination; use "
+                             "backend='xla'")
         if mesh is not None:
-            if warm_start:
-                raise ValueError("warm_start is not supported on the "
-                                 "sharded path yet")
             backend = "xla"
+        self.tolerance = tolerance
         self.mesh = mesh
         self.config = config
         self.network = network
@@ -114,29 +118,53 @@ class BatchedSmpcController:
     def initialise(self) -> None:
         self._fa = _factor_arrays(self.engine)
         cfg = self.config
+        is_apg = cfg.algorithm == ALGORITHM_APG
         kw = dict(inv_step=float(1.0 / cfg.step_size),
                   step_size=float(cfg.step_size),
                   penalty_state=float(cfg.penalty_state),
                   penalty_safety=float(cfg.penalty_safety),
                   xs_upper=float(XS_UPPER),
                   max_iterations=int(cfg.max_iterations))
+        kw_tol = dict(kw, tolerance=self.tolerance)
+        qn_kw = dict(kw_tol, algorithm=cfg.algorithm,
+                     lbfgs_buffer_size=int(cfg.lbfgs_buffer_size))
+        prefix_stages = self.engine.factor_step().prefix_stages
         if self.mesh is not None:
             from rapidnet_tpu.parallel import (make_sharded_apg_batch,
+                                               make_sharded_batch_shared,
+                                               make_sharded_qn_batch,
                                                shard_factor_arrays)
             fc = self.forecasters[0]
             fc.predict_demand(0)
             fc.predict_prices(0)
-            step_t = _step_arrays(self.engine.prepare_step(
-                fc.nominal_demand, fc.nominal_prices, self.current_x[0],
-                self.prev_u[0], self.prev_demand[0]))
-            self._solver = make_sharded_apg_batch(
-                self.mesh, self._fa, step_t,
-                prefix_stages=self.engine.factor_step().prefix_stages,
-                **kw)
+            if self._shared_forecast:
+                # device-side batch assembly: the base fan arrays ship
+                # once per step (O(tree)), not O(B x tree)
+                base_t, inst_t = self.engine.prepare_step_shared(
+                    fc.nominal_demand, fc.nominal_prices, self.current_x,
+                    self.prev_u, self.prev_demand)
+                self._solver = make_sharded_batch_shared(
+                    self.mesh, self._fa, base_t, inst_t,
+                    algorithm=cfg.algorithm,
+                    lbfgs_buffer_size=int(cfg.lbfgs_buffer_size),
+                    prefix_stages=prefix_stages, **kw_tol)
+            else:
+                step_t = _step_arrays(self.engine.prepare_step(
+                    fc.nominal_demand, fc.nominal_prices,
+                    self.current_x[0], self.prev_u[0],
+                    self.prev_demand[0]))
+                if is_apg:
+                    self._solver = make_sharded_apg_batch(
+                        self.mesh, self._fa, step_t,
+                        prefix_stages=prefix_stages, **kw_tol)
+                else:
+                    self._solver = make_sharded_qn_batch(
+                        self.mesh, self._fa, step_t,
+                        prefix_stages=prefix_stages, **qn_kw)
             self._fa = shard_factor_arrays(self._fa, self.mesh)
             return
         shared = self._shared_forecast
-        if self.backend != "xla":
+        if is_apg and self.backend != "xla" and self.tolerance is None:
             from rapidnet_tpu.ops import pallas_apg
             on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
             if self.backend == "pallas" or (on_tpu and pallas_apg.fits_vmem(
@@ -149,14 +177,18 @@ class BatchedSmpcController:
                     self._solver = pallas_apg.make_apg_pallas_batch(
                         self._fa, **kw)
                 return
-        if shared:
-            run = apg_mod.make_apg_batch_shared(
-                prefix_stages=self.engine.factor_step().prefix_stages,
-                **kw)
+        if is_apg:
+            make_batch = apg_mod.make_apg_batch
+            make_batch_shared = apg_mod.make_apg_batch_shared
+            qn_kw = kw_tol
         else:
-            run = apg_mod.make_apg_batch(
-                prefix_stages=self.engine.factor_step().prefix_stages,
-                **kw)
+            from rapidnet_tpu.solver import quasi_newton
+            make_batch = quasi_newton.make_solver_batch
+            make_batch_shared = quasi_newton.make_solver_batch_shared
+        if shared:
+            run = make_batch_shared(prefix_stages=prefix_stages, **qn_kw)
+        else:
+            run = make_batch(prefix_stages=prefix_stages, **qn_kw)
         self._solver = jax.jit(run)
 
     # ------------------------------------------------------------------
@@ -170,20 +202,18 @@ class BatchedSmpcController:
             if not (fc.predict_demand(sim_time) and
                     fc.predict_prices(sim_time)):
                 raise IndexError(f"forecaster exhausted at t={sim_time}")
+            # shared-base form: assemble the batch ON DEVICE (both the
+            # single-device and the 2-D mesh paths)
+            base, inst = self.engine.prepare_step_shared(
+                fc.nominal_demand, fc.nominal_prices,
+                self.current_x, self.prev_u, self.prev_demand)
             if self.mesh is None:
-                # shared-base form: assemble the batch ON DEVICE
-                base, inst = self.engine.prepare_step_shared(
-                    fc.nominal_demand, fc.nominal_prices,
-                    self.current_x, self.prev_u, self.prev_demand)
                 shared_args = (
                     {k: jnp.asarray(v) for k, v in base.items()},
                     {k: jnp.asarray(v) for k, v in inst.items()})
             else:
-                batched = {k: jnp.asarray(v) for k, v in
-                           self.engine.prepare_step_batch(
-                               fc.nominal_demand, fc.nominal_prices,
-                               self.current_x, self.prev_u,
-                               self.prev_demand).items()}
+                from rapidnet_tpu.parallel import shard_shared_step
+                shared_args = shard_shared_step(base, inst, self.mesh)
         else:
             steps = []
             for b in range(self.batch):
@@ -200,9 +230,25 @@ class BatchedSmpcController:
         t0 = time.perf_counter()
         y0 = self._y_carry if self.warm_start else None
         if self.mesh is not None:
-            from rapidnet_tpu.parallel import shard_step_arrays_batch
-            out = self._solver(
-                self._fa, shard_step_arrays_batch(batched, self.mesh))
+            from rapidnet_tpu.parallel import (shard_dual_arrays,
+                                               shard_step_arrays_batch)
+            if self._y_carry is None:
+                # fixed shard_map signature: cold start = sharded zeros
+                N, ns = self._fa["d1"].shape[:2]
+                nx = self._fa["d1"].shape[-1]
+                nu = self._fa["g"].shape[-1]
+                B = self.batch
+                self._y_carry = shard_dual_arrays(
+                    {"xi": np.zeros((B, N, ns, 2 * nx), np.float32),
+                     "psi": np.zeros((B, N, ns, nu), np.float32)},
+                    self.mesh, batched=True)
+            if shared_args is not None:
+                base, inst = shared_args
+                out = self._solver(self._fa, base, inst, self._y_carry)
+            else:
+                out = self._solver(
+                    self._fa, shard_step_arrays_batch(batched, self.mesh),
+                    self._y_carry)
         elif shared_args is not None:
             base, inst = shared_args
             if self._use_pallas:

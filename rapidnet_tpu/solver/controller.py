@@ -101,12 +101,6 @@ class SmpcController:
             if backend == "pallas":
                 raise ValueError("sharded solves run on the XLA path; "
                                  "backend='pallas' is single-device")
-            if tolerance is not None:
-                raise ValueError("tolerance-based early termination is "
-                                 "not supported on the sharded path")
-            if warm_start:
-                raise ValueError("warm_start is not supported on the "
-                                 "sharded path yet")
             backend = "xla"
         self.mesh = mesh
         self.backend = backend
@@ -179,7 +173,8 @@ class SmpcController:
                 penalty_safety=float(cfg.penalty_safety),
                 xs_upper=float(XS_UPPER),
                 max_iterations=int(cfg.max_iterations),
-                lbfgs_buffer_size=int(cfg.lbfgs_buffer_size))
+                lbfgs_buffer_size=int(cfg.lbfgs_buffer_size),
+                tolerance=self.tolerance)
         else:
             raise ValueError(f"unknown algorithm '{cfg.algorithm}'")
         self._solver = jax.jit(run)
@@ -197,7 +192,8 @@ class SmpcController:
                   penalty_state=float(cfg.penalty_state),
                   penalty_safety=float(cfg.penalty_safety),
                   xs_upper=float(XS_UPPER),
-                  max_iterations=int(cfg.max_iterations))
+                  max_iterations=int(cfg.max_iterations),
+                  tolerance=self.tolerance)
         if cfg.algorithm == ALGORITHM_APG:
             run = make_sharded_apg(self.mesh, self._fa, step_t, **kw)
         elif cfg.algorithm in (ALGORITHM_FBE, ALGORITHM_NAMA):
@@ -237,6 +233,14 @@ class SmpcController:
             self.config.current_x, self.config.prev_u,
             self.config.prev_demand)
         return _step_arrays(step)
+
+    def _zero_y(self, step: dict) -> dict:
+        """Zero dual pair in the XLA layout (cold start / jit signature)."""
+        N, ns = step["beta"].shape[:2]
+        nx = self._fa["d1"].shape[-1]
+        nu = self._fa["g"].shape[-1]
+        return {"xi": jnp.zeros((N, ns, 2 * nx), jnp.float32),
+                "psi": jnp.zeros((N, ns, nu), jnp.float32)}
 
     def _coerce_y_carry(self) -> None:
         """Translate a warm-start dual carry between backend layouts.
@@ -283,27 +287,27 @@ class SmpcController:
         step = self.prepare_step(sim_time)
         t0 = time.perf_counter()
         if self.mesh is not None:
-            from rapidnet_tpu.parallel import shard_step_arrays
+            from rapidnet_tpu.parallel import (shard_dual_arrays,
+                                               shard_step_arrays)
+            if self._y_carry is None:
+                # the shard_map signature is fixed: cold start = zeros
+                self._y_carry = shard_dual_arrays(
+                    self._zero_y(step), self.mesh)
             out = self._solver(self._fa,
-                               shard_step_arrays(step, self.mesh))
+                               shard_step_arrays(step, self.mesh),
+                               self._y_carry)
         elif self._use_pallas:
             y0 = self._y_carry if self.warm_start else None
             out = self._solver(step, y0)
-        elif self.config.algorithm == ALGORITHM_APG:
+        else:
+            # XLA path, all three algorithms: fn(fa, step, y0=None)
             if self.warm_start:
                 if self._y_carry is None:
                     # zero warm start keeps the jit signature stable
-                    N, ns = step["beta"].shape[:2]
-                    nx = self._fa["d1"].shape[-1]
-                    nu = self._fa["g"].shape[-1]
-                    self._y_carry = {
-                        "xi": jnp.zeros((N, ns, 2 * nx), jnp.float32),
-                        "psi": jnp.zeros((N, ns, nu), jnp.float32)}
+                    self._y_carry = self._zero_y(step)
                 out = self._solver(self._fa, step, self._y_carry)
             else:
                 out = self._solver(self._fa, step, None)
-        else:
-            out = self._solver(self._fa, step)
         control = np.asarray(jax.block_until_ready(out["control"]))
         self.solve_times_ms.append((time.perf_counter() - t0) * 1e3)
         if self.warm_start:

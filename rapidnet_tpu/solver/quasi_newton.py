@@ -279,8 +279,22 @@ def make_solver(*, algorithm: str, prefix_stages: tuple, inv_step: float,
                 step_size: float, penalty_state: float,
                 penalty_safety: float, xs_upper: float,
                 max_iterations: int, lbfgs_buffer_size: int,
-                axis_name: str | None = None, project_control: bool = True):
-    """Build the jittable FBE or NAMA solve function fn(fa, step)."""
+                axis_name: str | None = None, project_control: bool = True,
+                tolerance: float | None = None):
+    """Build the jittable FBE or NAMA solve function fn(fa, step, y0=None).
+
+    Beyond reference parity (the reference treats the quasi-Newton
+    algorithms uniformly with APG behind one dispatch but always
+    cold-starts and always runs the full budget,
+    src/SmpcController.cu:63-71,1607-1667):
+
+    * ``y0``: optional dual warm start {"xi", "psi"} — the previous
+      receding-horizon solve's ``out["y"]``.  The L-BFGS buffer starts
+      fresh (curvature pairs from the previous problem are stale).
+    * ``tolerance``: early termination on the primal-infeasibility
+      diagnostic via ``lax.while_loop`` (diagnostic traces are
+      zero-padded past the termination point).
+    """
     is_fbe = algorithm == ALGORITHM_FBE
     if not is_fbe and algorithm != ALGORITHM_NAMA:
         raise ValueError(f"unknown quasi-Newton algorithm {algorithm}")
@@ -349,14 +363,16 @@ def make_solver(*, algorithm: str, prefix_stages: tuple, inv_step: float,
                  "psi": state["w"]["psi"] + step_size * state["res"]["psi"]}
         infeas = ss.signed_max_abs(state["res"]["xi"], state["res"]["psi"],
                                    axis_name)
+        mag = ss.max_abs_residual(state["res"]["xi"], state["res"]["psi"],
+                                  axis_name)
         new_carry = {
             "y": y_new, "y_prev": carry["y"], "yvec_prev": yvec,
             "w": y_new, "lbfgs": lb,
             "x": state["x"], "u": state["u"], "v": sol["v"],
         }
-        return new_carry, (infeas, value, tau)
+        return new_carry, (infeas, value, tau, mag)
 
-    def run(fa, step):
+    def init_carry(fa, step, y0):
         N, ns = step["beta"].shape[:2]
         nx = fa["d1"].shape[-1]
         nu = fa["g"].shape[-1]
@@ -364,6 +380,8 @@ def make_solver(*, algorithm: str, prefix_stages: tuple, inv_step: float,
         zx = jnp.zeros((N, ns, 2 * nx), jnp.float32)
         zp = jnp.zeros((N, ns, nu), jnp.float32)
         zero_dual = {"xi": zx, "psi": zp}
+        if y0 is None:
+            y0 = zero_dual
         lb0 = {
             "mat_s": {"xi": jnp.zeros((n_cols, N, ns, 2 * nx), jnp.float32),
                       "psi": jnp.zeros((n_cols, N, ns, nu), jnp.float32)},
@@ -373,19 +391,15 @@ def make_solver(*, algorithm: str, prefix_stages: tuple, inv_step: float,
             "col": jnp.int32(0), "mem": jnp.int32(0),
             "skips": jnp.int32(0), "hessian": jnp.float32(1.0),
         }
-        carry = {
-            "y": zero_dual, "y_prev": zero_dual, "yvec_prev": zero_dual,
-            "w": zero_dual, "lbfgs": lb0,
+        return {
+            "y": y0, "y_prev": y0, "yvec_prev": zero_dual,
+            "w": y0, "lbfgs": lb0,
             "x": jnp.zeros((N, ns, nx), jnp.float32),
             "u": jnp.zeros((N, ns, nu), jnp.float32),
             "v": jnp.zeros((N, ns, nv), jnp.float32),
         }
 
-        def body(c, it):
-            return one_iteration(fa, step, c, it)
-
-        carry, (infeas, values, taus) = lax.scan(
-            body, carry, jnp.arange(max_iterations))
+    def finish(fa, carry, infeas, values, taus, iters):
         if project_control:
             u0 = jnp.clip(carry["u"][0, 0], fa["umin"][0, 0],
                           fa["umax"][0, 0])
@@ -396,7 +410,42 @@ def make_solver(*, algorithm: str, prefix_stages: tuple, inv_step: float,
             "v": carry["v"], "y": carry["y"],
             "primal_infeasibility": infeas,
             "value_fbe": values, "tau": taus,
+            "iterations": iters,
         }
+
+    if tolerance is None:
+        def run(fa, step, y0=None):
+            carry = init_carry(fa, step, y0)
+
+            def body(c, it):
+                c, (inf, val, tau, _) = one_iteration(fa, step, c, it)
+                return c, (inf, val, tau)
+
+            carry, (infeas, values, taus) = lax.scan(
+                body, carry, jnp.arange(max_iterations))
+            return finish(fa, carry, infeas, values, taus,
+                          jnp.int32(max_iterations))
+    else:
+        def run(fa, step, y0=None):
+            carry = init_carry(fa, step, y0)
+            zeros = jnp.zeros((max_iterations,), jnp.float32)
+
+            def cond(state):
+                it, c, traces, last = state
+                return (it < max_iterations) & (last > tolerance)
+
+            def body(state):
+                it, c, traces, _ = state
+                infs, vals, taus = traces
+                c, (inf, val, tau, mag) = one_iteration(fa, step, c, it)
+                traces = (infs.at[it].set(inf), vals.at[it].set(val),
+                          taus.at[it].set(tau))
+                return it + 1, c, traces, mag
+
+            it, carry, (infs, vals, taus), _ = lax.while_loop(
+                cond, body, (jnp.int32(0), carry, (zeros, zeros, zeros),
+                             jnp.float32(jnp.inf)))
+            return finish(fa, carry, infs, vals, taus, it)
 
     return run
 
@@ -414,4 +463,36 @@ def make_solver_batch(**kwargs):
     tolerances (src/test/TestSmpcController.cu:31-43).
     """
     run = make_solver(**kwargs)
-    return jax.vmap(run, in_axes=(None, 0))
+    v_cold = jax.vmap(lambda fa, s: run(fa, s), in_axes=(None, 0))
+    v_warm = jax.vmap(run, in_axes=(None, 0, 0))
+
+    def run_batch(fa, steps, y0=None):
+        return v_cold(fa, steps) if y0 is None else v_warm(fa, steps, y0)
+
+    return run_batch
+
+
+def make_solver_batch_shared(**kwargs):
+    """Batched FBE/NAMA over a SHARED forecast: fn(fa, base, inst[, y0]).
+
+    Same device-side batch assembly contract as
+    ``apg.make_apg_batch_shared`` (Engine.prepare_step_shared): the host
+    ships O(tree) + O(B nu) bytes per control step instead of O(B tree).
+    """
+    from rapidnet_tpu.solver.apg import expand_shared_step
+
+    run = make_solver(**kwargs)
+
+    def one(fa, base, x0, pu, puh, dlt, y0=None):
+        step = expand_shared_step(base, x0, pu, puh, dlt)
+        return run(fa, step) if y0 is None else run(fa, step, y0)
+
+    v_cold = jax.vmap(one, in_axes=(None, None, 0, 0, 0, 0))
+    v_warm = jax.vmap(one, in_axes=(None, None, 0, 0, 0, 0, 0))
+
+    def run_batch(fa, base, inst, y0=None):
+        args = (fa, base, inst["x0"], inst["prev_u"],
+                inst["prev_uhat"], inst["delta_beta0"])
+        return v_cold(*args) if y0 is None else v_warm(*args, y0)
+
+    return run_batch

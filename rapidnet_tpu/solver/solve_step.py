@@ -302,3 +302,18 @@ def signed_max_abs(res_xi, res_psi, axis_name: str | None = None):
         vx = ax[jnp.argmax(jnp.abs(ax))]
         vp = ap[jnp.argmax(jnp.abs(ap))]
     return jnp.maximum(vx, vp)
+
+
+def max_abs_residual(res_xi, res_psi, axis_name: str | None = None):
+    """True residual magnitude max(|res_xi|, |res_psi|)_max.
+
+    Used for tolerance-based early termination: the reference-quirk
+    diagnostic (signed_max_abs) can report ~0 when the two blocks'
+    signed champions cancel, so terminating on it would exit on an
+    unconverged solve.  The signed trace stays reference-faithful;
+    the stopping rule uses this magnitude.
+    """
+    m = jnp.maximum(jnp.max(jnp.abs(res_xi)), jnp.max(jnp.abs(res_psi)))
+    if axis_name is not None:
+        m = lax.pmax(m, axis_name)
+    return m

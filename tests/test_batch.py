@@ -233,3 +233,93 @@ def test_batched_quasi_newton_matches_per_instance(problem, algorithm):
         np.testing.assert_allclose(np.asarray(out_b["control"])[b],
                                    np.asarray(ref["control"]),
                                    rtol=1e-2, atol=2e-3)
+
+
+@pytest.mark.parametrize("algorithm", ["globalFbeAlgorithm",
+                                       "namaAlgorithm"])
+def test_batched_closed_loop_quasi_newton_matches_sequential(problem,
+                                                             algorithm):
+    """BatchedSmpcController runs FBE/NAMA closed loops (the reference
+    treats all three algorithms uniformly behind one dispatch,
+    src/SmpcController.cu:63-71).
+
+    Identical lanes must match a standalone SmpcController tightly
+    (pins the batched plumbing: shared-base assembly, KPI tracking,
+    state advance).  Distinct lanes only get sanity checks: the
+    masked-lockstep line searches under vmap can take different tau
+    branches when an f32 comparison flips, so distinct-lane
+    trajectories legitimately drift from standalone solves."""
+    import copy
+    import dataclasses
+    cfg = dataclasses.replace(problem["cfg"], algorithm=algorithm,
+                              max_iterations=25)
+    net, tree = problem["net"], problem["tree"]
+
+    def fresh_fc():
+        return synthetic_forecaster(N=8, nd=3, nu=7, sim_horizon=6, seed=3)
+
+    # --- identical lanes == sequential controller ---
+    x0 = problem["x0s"][0]
+    same = np.tile(x0, (B, 1))
+    bctrl = BatchedSmpcController(cfg, net, tree, fresh_fc(), same,
+                                  backend="xla")
+    blog = bctrl.closed_loop(3)
+    cfg_b = copy.deepcopy(cfg)
+    cfg_b.set_current_state(x0)
+    ctrl = SmpcController(cfg_b, network=net, tree=tree,
+                          forecaster=fresh_fc(), backend="xla")
+    log = ctrl.closed_loop(3)
+    for t in range(3):
+        # lanes are identical data in one program -> bitwise equal
+        for b in range(1, B):
+            np.testing.assert_array_equal(blog["controls"][t, b],
+                                          blog["controls"][t, 0])
+        # vs the standalone controller: vmapped matmul layouts
+        # reassociate f32 reductions, which can flip one line-search
+        # branch -> small but real trajectory offsets
+        np.testing.assert_allclose(
+            blog["controls"][t, 0], np.asarray(log[f"control{t}"]),
+            rtol=6e-2, atol=5e-3)
+    np.testing.assert_allclose(blog["economicKpi"],
+                               np.full(B, log["economicKpi"]), rtol=2e-2)
+
+    # --- distinct lanes: finite, in-bounds, per-lane KPIs ---
+    bctrl2 = BatchedSmpcController(cfg, net, tree, fresh_fc(),
+                                   problem["x0s"], backend="xla")
+    blog2 = bctrl2.closed_loop(2)
+    assert blog2["controls"].shape == (2, B, 7)
+    assert np.all(np.isfinite(blog2["controls"]))
+    assert np.all(np.isfinite(blog2["economicKpi"]))
+
+
+def test_quasi_newton_warm_start_and_tolerance(problem):
+    """Warm-started FBE with tolerance terminates in fewer iterations
+    than a cold start and lands at the same control."""
+    from rapidnet_tpu.solver import quasi_newton
+    kw = dict({k: v for k, v in problem["kw"].items()
+               if k != "max_iterations"},
+              max_iterations=120, lbfgs_buffer_size=4,
+              algorithm="globalFbeAlgorithm", tolerance=5e-2)
+    run = jax.jit(quasi_newton.make_solver(**kw))
+    step = problem["steps"][0]
+    cold = run(problem["fa"], step, None)
+    it_cold = int(cold["iterations"])
+    warm = run(problem["fa"], step,
+               {"xi": cold["y"]["xi"], "psi": cold["y"]["psi"]})
+    it_warm = int(warm["iterations"])
+    assert 0 < it_warm < it_cold, (it_warm, it_cold)
+    np.testing.assert_allclose(np.asarray(warm["control"]),
+                               np.asarray(cold["control"]),
+                               rtol=5e-2, atol=5e-3)
+
+
+def test_batched_controller_tolerance_early_exit(problem):
+    """tolerance= on the batched controller exits early on the XLA path."""
+    cfg, net, tree = problem["cfg"], problem["net"], problem["tree"]
+    fc = synthetic_forecaster(N=8, nd=3, nu=7, sim_horizon=6, seed=3)
+    bctrl = BatchedSmpcController(cfg, net, tree, fc, problem["x0s"],
+                                  backend="xla", tolerance=1e-1)
+    bctrl.control_action(0)
+    iters = np.asarray(bctrl._last["iterations"])
+    assert np.all(iters <= cfg.max_iterations)
+    assert np.all(iters >= 1)

@@ -17,7 +17,7 @@ def test_bench_ladder_smoke(tmp_path):
     cp = subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench_ladder.py"),
          "--platform", "cpu", "--max-iter", "5", "--repeats", "1",
-         "--out", str(out)],
+         "--skip-device-scaling", "--out", str(out)],
         capture_output=True, text=True, timeout=900, cwd=ROOT)
     assert cp.returncode == 0, cp.stderr[-2000:]
     data = json.loads(out.read_text())
@@ -38,3 +38,7 @@ def test_bench_measure_smoke(monkeypatch):
     assert res["batch_solves_per_s"] > 0
     assert res["tree_nodes"] == 556
     assert "xla" in res["paths_ms"]
+    # one bench line per algorithm (reference dispatch parity,
+    # src/SmpcController.cu:63-71)
+    assert set(res["algo_solves_per_s"]) == {"apg", "fbe", "nama"}
+    assert all(v > 0 for v in res["algo_solves_per_s"].values())

@@ -205,3 +205,72 @@ def test_controller_sharded_closed_loop(algorithm):
     np.testing.assert_allclose(log_sh["economicKpi"],
                                log_ref["economicKpi"], rtol=1e-3,
                                atol=1e-9)
+
+
+def test_sharded_warm_start_and_tolerance(problem):
+    """Warm start + early termination on the sharded path: fewer
+    iterations to tolerance, same control (the reference always
+    cold-starts, src/SmpcController.cu:425-432)."""
+    from rapidnet_tpu.parallel import (make_mesh, make_sharded_apg,
+                                       shard_factor_arrays,
+                                       shard_step_arrays)
+    kw = dict(_solver_kwargs(problem), max_iterations=400, tolerance=5e-2)
+    mesh = make_mesh(8)
+    fa_sh = shard_factor_arrays(problem["fa"], mesh)
+    step_sh = shard_step_arrays(problem["step"], mesh)
+    fn = make_sharded_apg(mesh, problem["fa"], problem["step"], **kw)
+    cold = fn(fa_sh, step_sh)            # y0 defaults to zeros
+    it_cold = int(cold["iterations"])
+    warm = fn(fa_sh, step_sh, cold["y"])
+    it_warm = int(warm["iterations"])
+    assert 0 < it_warm < it_cold, (it_warm, it_cold)
+    np.testing.assert_allclose(np.asarray(warm["control"]),
+                               np.asarray(cold["control"]),
+                               rtol=5e-2, atol=5e-3)
+
+    # matches the single-device solver at the same budget
+    single = jax.jit(apg_mod.make_apg(**kw))
+    ref = single(problem["fa"], problem["step"])
+    assert abs(int(ref["iterations"]) - it_cold) <= 2, \
+        (int(ref["iterations"]), it_cold)
+    np.testing.assert_allclose(np.asarray(cold["control"]),
+                               np.asarray(ref["control"]),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_controller_sharded_warm_closed_loop():
+    """SmpcController(mesh, warm_start=True, tolerance=...) reduces
+    closed-loop iterations vs the cold controller and tracks its
+    controls."""
+    from rapidnet_tpu.model.config import synthetic_config
+    from rapidnet_tpu.model.forecaster import synthetic_forecaster
+    from rapidnet_tpu.model.network import synthetic_network
+    from rapidnet_tpu.model.scenario_tree import generate_tree
+    from rapidnet_tpu.parallel import make_mesh
+    from rapidnet_tpu.solver.controller import SmpcController
+
+    net = synthetic_network(nx=4, nu=7, nd=3, ne=2, seed=21)
+    tree = generate_tree(N=8, branching=[4, 2], nd=3, nu=7, seed=21)
+
+    def build(warm):
+        cfg = synthetic_config(net, tree, max_iterations=300,
+                               step_size=1e-3)
+        fc = synthetic_forecaster(N=8, nd=3, nu=7, sim_horizon=5, seed=21)
+        return SmpcController(cfg, network=net, tree=tree, forecaster=fc,
+                              backend="xla", mesh=make_mesh(8),
+                              warm_start=warm, tolerance=5e-2)
+
+    cold_ctrl, warm_ctrl = build(False), build(True)
+    iters_cold, iters_warm = [], []
+    for t in range(3):
+        cold_ctrl.control_action(t)
+        iters_cold.append(int(np.asarray(cold_ctrl._last["iterations"])))
+        cold_ctrl.move_forward_in_time()
+        u = warm_ctrl.control_action(t)
+        iters_warm.append(int(np.asarray(warm_ctrl._last["iterations"])))
+        warm_ctrl.move_forward_in_time()
+        assert np.all(np.isfinite(u))
+    # step 0 is identical (both cold); later steps must be cheaper warm
+    assert iters_warm[0] == iters_cold[0]
+    assert sum(iters_warm[1:]) < sum(iters_cold[1:]), (iters_warm,
+                                                       iters_cold)
