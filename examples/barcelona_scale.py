@@ -11,11 +11,6 @@ Run:
     python examples/barcelona_scale.py [--platform cpu] [--steps 3]
 """
 
-import os
-import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
 import argparse
 import time
 

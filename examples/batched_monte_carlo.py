@@ -14,11 +14,6 @@ Run:
         [--batch 8] [--steps 4]
 """
 
-import os
-import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
 import argparse
 import time
 

@@ -13,11 +13,6 @@ Any reference-format controllerConfig.json works; the paths inside it
 against the config file's directory.
 """
 
-import os
-import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
 import argparse
 
 DEFAULT = "/root/reference/src/test/testDataFiles/controllerConfig.json"

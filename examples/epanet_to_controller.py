@@ -12,11 +12,6 @@ Run:
 (without --inp a small built-in 3-tank network is used)
 """
 
-import os
-import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
 import argparse
 
 

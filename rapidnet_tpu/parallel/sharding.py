@@ -44,6 +44,13 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
+            if len(devices) < n_devices:
+                raise ValueError(
+                    f"requested a {n_devices}-device mesh but only "
+                    f"{len(devices)} devices are visible "
+                    f"({devices[0].platform}); pass devices= explicitly "
+                    "(e.g. jax.devices('cpu') under "
+                    "--xla_force_host_platform_device_count)")
             devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (AXIS,))
 
@@ -202,6 +209,11 @@ def make_mesh_2d(n_batch: int, n_scen: int, devices=None) -> Mesh:
     """
     if devices is None:
         devices = jax.devices()
+    if len(devices) < n_batch * n_scen:
+        raise ValueError(
+            f"requested a {n_batch}x{n_scen} mesh but only "
+            f"{len(devices)} devices are visible "
+            f"({devices[0].platform}); pass devices= explicitly")
     devices = np.asarray(devices[:n_batch * n_scen]).reshape(
         n_batch, n_scen)
     return Mesh(devices, (BATCH_AXIS, AXIS))

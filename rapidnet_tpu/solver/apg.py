@@ -33,6 +33,40 @@ from rapidnet_tpu.solver import solve_step as ss
 ITER_UNROLL = 4
 
 
+def apg_oracle(fa, step, w_xi, w_psi, *, prefix_stages, inv_step,
+               step_size, penalty_state, penalty_safety, xs_upper,
+               axis_name=None):
+    """One dual-gradient step at an injected accelerated dual w.
+
+    The body of every APG iteration — solve step, prox of g, fixed-point
+    residual (Hz - t, src/SmpcController.cu:839-850) and dual update
+    (y+ = w + step (Hz - t), :854-881) — exposed as a unit so golden
+    fixture tests can inject the accelerated dual and compare every
+    intermediate, mirroring the reference's protected-method test
+    pattern (TestSmpcController::testFixedPointResidual /
+    testDualUpdate, src/test/TestSmpcController.cu:291-398).
+
+    Returns the solve-step outputs plus dual_xi/dual_psi (prox),
+    res_xi/res_psi (fixed-point residual), value_g and the updated
+    dual pair y_xi/y_psi.
+    """
+    sol = ss.solve_step(
+        fa, w_xi, w_psi, step["beta"], step["uhat"], step["e"],
+        step["x0"], step["prev_u"], step["prev_uhat"],
+        prefix_stages=prefix_stages, axis_name=axis_name)
+    dual_xi, dual_psi, value_g = ss.prox_g(
+        fa, sol["prim_xi"], sol["prim_psi"], w_xi, w_psi,
+        inv_step=inv_step, penalty_state=penalty_state,
+        penalty_safety=penalty_safety, xs_upper=xs_upper,
+        axis_name=axis_name)
+    res_xi = sol["prim_xi"] - dual_xi
+    res_psi = sol["prim_psi"] - dual_psi
+    return dict(sol, dual_xi=dual_xi, dual_psi=dual_psi,
+                value_g=value_g, res_xi=res_xi, res_psi=res_psi,
+                y_xi=w_xi + step_size * res_xi,
+                y_psi=w_psi + step_size * res_psi)
+
+
 def make_apg(*, prefix_stages: tuple, inv_step: float, step_size: float,
              penalty_state: float, penalty_safety: float, xs_upper: float,
              max_iterations: int, axis_name: str | None = None,
@@ -58,6 +92,10 @@ def make_apg(*, prefix_stages: tuple, inv_step: float, step_size: float,
     (see docs/roofline.md negative results).
     """
     f32 = jnp.float32
+    oracle_kw = dict(prefix_stages=prefix_stages, inv_step=inv_step,
+                     step_size=step_size, penalty_state=penalty_state,
+                     penalty_safety=penalty_safety, xs_upper=xs_upper,
+                     axis_name=axis_name)
 
     def one_iteration(fa, step, carry):
         y, z, th0, th1 = (carry["y"], carry["z"], carry["th0"],
@@ -68,31 +106,18 @@ def make_apg(*, prefix_stages: tuple, inv_step: float, step_size: float,
         w_xi = y["xi"] + lam * z["xi"].astype(f32)
         w_psi = y["psi"] + lam * z["psi"].astype(f32)
 
-        sol = ss.solve_step(
-            fa, w_xi, w_psi, step["beta"], step["uhat"], step["e"],
-            step["x0"], step["prev_u"], step["prev_uhat"],
-            prefix_stages=prefix_stages, axis_name=axis_name)
+        o = apg_oracle(fa, step, w_xi, w_psi, **oracle_kw)
 
-        dual_xi, dual_psi, value_g = ss.prox_g(
-            fa, sol["prim_xi"], sol["prim_psi"], w_xi, w_psi,
-            inv_step=inv_step, penalty_state=penalty_state,
-            penalty_safety=penalty_safety, xs_upper=xs_upper,
-            axis_name=axis_name)
-
-        res_xi = sol["prim_xi"] - dual_xi
-        res_psi = sol["prim_psi"] - dual_psi
-
-        y_new = {"xi": w_xi + step_size * res_xi,
-                 "psi": w_psi + step_size * res_psi}
+        y_new = {"xi": o["y_xi"], "psi": o["y_psi"]}
         # z+ = y+ - y = lam z + step res (f32), stored in dual_dtype
         z_new = {k: (y_new[k] - y[k]).astype(dual_dtype) for k in y}
         th0_new = th1
         th1_new = 0.5 * (jnp.sqrt(th1 ** 4 + 4.0 * th1 ** 2) - th1 ** 2)
-        infeas = ss.signed_max_abs(res_xi, res_psi, axis_name)
-        mag = ss.max_abs_residual(res_xi, res_psi, axis_name)
+        infeas = ss.signed_max_abs(o["res_xi"], o["res_psi"], axis_name)
+        mag = ss.max_abs_residual(o["res_xi"], o["res_psi"], axis_name)
         new_carry = {"y": y_new, "z": z_new, "th0": th0_new,
-                     "th1": th1_new, "x": sol["x"], "u": sol["u"],
-                     "v": sol["v"]}
+                     "th1": th1_new, "x": o["x"], "u": o["u"],
+                     "v": o["v"]}
         return new_carry, (infeas, mag)
 
     def init_carry(fa, step, y0):

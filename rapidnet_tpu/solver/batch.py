@@ -62,10 +62,6 @@ class BatchedSmpcController:
         sp over a pod slice)."""
         if backend not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown backend '{backend}'")
-        if config.algorithm != ALGORITHM_APG and backend == "pallas":
-            raise ValueError("the fused Pallas kernel is APG-only; "
-                             "FBE/NAMA batched solves run on the XLA "
-                             "path (backend='xla' or 'auto')")
         if tolerance is not None and backend == "pallas":
             raise ValueError("backend='pallas' does not support "
                              "tolerance-based early termination; use "
@@ -164,18 +160,27 @@ class BatchedSmpcController:
             self._fa = shard_factor_arrays(self._fa, self.mesh)
             return
         shared = self._shared_forecast
-        if is_apg and self.backend != "xla" and self.tolerance is None:
-            from rapidnet_tpu.ops import pallas_apg
+        if self.backend != "xla" and self.tolerance is None:
             on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
-            if self.backend == "pallas" or (on_tpu and pallas_apg.fits_vmem(
-                    pallas_apg.pad_constants(self._fa))):
+            if is_apg:
+                from rapidnet_tpu.ops import pallas_apg
+                fits = pallas_apg.fits_vmem(
+                    pallas_apg.pad_constants(self._fa))
+                make_p = (pallas_apg.make_apg_pallas_batch_shared
+                          if shared else pallas_apg.make_apg_pallas_batch)
+                p_kw = kw
+            else:
+                from rapidnet_tpu.ops import pallas_qn
+                fits = pallas_qn.fits_vmem_qn(
+                    pallas_qn.pad_qn_constants(self._fa),
+                    int(cfg.lbfgs_buffer_size))
+                make_p = (pallas_qn.make_qn_pallas_batch_shared
+                          if shared else pallas_qn.make_qn_pallas_batch)
+                p_kw = dict(kw, algorithm=cfg.algorithm,
+                            lbfgs_buffer_size=int(cfg.lbfgs_buffer_size))
+            if self.backend == "pallas" or (on_tpu and fits):
                 self._use_pallas = True
-                if shared:
-                    self._solver = pallas_apg.make_apg_pallas_batch_shared(
-                        self._fa, **kw)
-                else:
-                    self._solver = pallas_apg.make_apg_pallas_batch(
-                        self._fa, **kw)
+                self._solver = make_p(self._fa, **p_kw)
                 return
         if is_apg:
             make_batch = apg_mod.make_apg_batch

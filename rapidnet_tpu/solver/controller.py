@@ -84,9 +84,10 @@ class SmpcController:
                  backend: str = "auto",
                  mesh=None):
         """backend: 'auto' | 'xla' | 'pallas'.  'auto' picks the fused
-        whole-solve Pallas kernel (ops/pallas_apg.py) for fixed-budget
-        APG solves on a TPU whose padded working set fits VMEM, and the
-        general XLA path otherwise.
+        whole-solve Pallas kernel (ops/pallas_apg.py for APG,
+        ops/pallas_qn.py for FBE/NAMA) for fixed-budget solves on a TPU
+        whose padded working set fits VMEM, and the general XLA path
+        otherwise.
 
         mesh: optional ``jax.sharding.Mesh`` with a 'scen' axis — the
         closed loop then runs the scenario-axis-sharded shard_map solve
@@ -139,18 +140,23 @@ class SmpcController:
         if self.mesh is not None:
             self._initialise_sharded()
             return
-        if cfg.algorithm == ALGORITHM_APG and self.backend != "xla":
+        if self.backend != "xla":
             self._use_pallas = self._pick_pallas()
         if self._use_pallas:
-            from rapidnet_tpu.ops import pallas_apg
-            self._solver = pallas_apg.make_apg_pallas(
-                self._fa,
-                inv_step=float(1.0 / cfg.step_size),
-                step_size=float(cfg.step_size),
-                penalty_state=float(cfg.penalty_state),
-                penalty_safety=float(cfg.penalty_safety),
-                xs_upper=float(XS_UPPER),
-                max_iterations=int(cfg.max_iterations))
+            p_kw = dict(inv_step=float(1.0 / cfg.step_size),
+                        step_size=float(cfg.step_size),
+                        penalty_state=float(cfg.penalty_state),
+                        penalty_safety=float(cfg.penalty_safety),
+                        xs_upper=float(XS_UPPER),
+                        max_iterations=int(cfg.max_iterations))
+            if cfg.algorithm == ALGORITHM_APG:
+                from rapidnet_tpu.ops import pallas_apg
+                self._solver = pallas_apg.make_apg_pallas(self._fa, **p_kw)
+            else:
+                from rapidnet_tpu.ops import pallas_qn
+                self._solver = pallas_qn.make_qn_pallas(
+                    self._fa, algorithm=cfg.algorithm,
+                    lbfgs_buffer_size=int(cfg.lbfgs_buffer_size), **p_kw)
             return
         if cfg.algorithm == ALGORITHM_APG:
             run = apg_mod.make_apg(
@@ -206,8 +212,8 @@ class SmpcController:
         self._solver = run
 
     def _pick_pallas(self) -> bool:
-        """Auto/forced selection of the fused Pallas solve kernel."""
-        from rapidnet_tpu.ops import pallas_apg
+        """Auto/forced selection of a fused Pallas solve kernel
+        (ops/pallas_apg.py for APG, ops/pallas_qn.py for FBE/NAMA)."""
         if self.tolerance is not None:
             # early termination runs on the XLA while_loop path
             if self.backend == "pallas":
@@ -218,8 +224,16 @@ class SmpcController:
         if self.backend == "pallas":
             return True
         on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
-        return on_tpu and pallas_apg.fits_vmem(
-            pallas_apg.pad_constants(self._fa))
+        if not on_tpu:
+            return False
+        if self.config.algorithm == ALGORITHM_APG:
+            from rapidnet_tpu.ops import pallas_apg
+            return pallas_apg.fits_vmem(
+                pallas_apg.pad_constants(self._fa))
+        from rapidnet_tpu.ops import pallas_qn
+        return pallas_qn.fits_vmem_qn(
+            pallas_qn.pad_qn_constants(self._fa),
+            int(self.config.lbfgs_buffer_size))
 
     # ------------------------------------------------------------------
     def prepare_step(self, sim_time: int) -> dict:

@@ -323,3 +323,48 @@ def test_batched_controller_tolerance_early_exit(problem):
     iters = np.asarray(bctrl._last["iterations"])
     assert np.all(iters <= cfg.max_iterations)
     assert np.all(iters >= 1)
+
+
+@pytest.mark.parametrize("algorithm", ["globalFbeAlgorithm",
+                                       "namaAlgorithm"])
+def test_batched_pallas_qn_matches_per_instance(problem, algorithm):
+    """vmap over the fused QN kernel == per-instance fused solves."""
+    from rapidnet_tpu.ops import pallas_qn
+    kw = {k: v for k, v in problem["kw"].items() if k != "prefix_stages"}
+    kw = dict(kw, algorithm=algorithm, lbfgs_buffer_size=5,
+              max_iterations=6, interpret=True)
+    single = pallas_qn.make_qn_pallas(problem["fa"], **kw)
+    batched = pallas_qn.make_qn_pallas_batch(problem["fa"], **kw)
+    out_b = batched(_stack(problem["steps"]))
+    for b, step in enumerate(problem["steps"]):
+        out_1 = single(step)
+        np.testing.assert_allclose(np.asarray(out_b["control"])[b],
+                                   np.asarray(out_1["control"]),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out_b["tau"])[b],
+                                   np.asarray(out_1["tau"]),
+                                   rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("algorithm", ["globalFbeAlgorithm",
+                                       "namaAlgorithm"])
+def test_batched_controller_pallas_qn(problem, algorithm):
+    """BatchedSmpcController backend='pallas' dispatches the fused QN
+    kernel and tracks the XLA batched controller inside the
+    trajectory-agreement horizon."""
+    import copy as _copy
+    cfg = _copy.deepcopy(problem["cfg"])
+    cfg.algorithm = algorithm
+    cfg.max_iterations = 6
+    ctrls = {}
+    for backend in ("xla", "pallas"):
+        fc = _copy.deepcopy(problem["fc"])
+        c = BatchedSmpcController(cfg, problem["net"], problem["tree"],
+                                  fc, problem["x0s"], backend=backend)
+        u = c.control_action(0)
+        assert u.shape == (B, problem["net"].nu)
+        ctrls[backend] = u
+    assert ctrls["pallas"].shape == ctrls["xla"].shape
+    np.testing.assert_allclose(
+        ctrls["pallas"], ctrls["xla"], rtol=1e-3,
+        atol=1e-3 * max(np.abs(ctrls["xla"]).max(), 1.0))

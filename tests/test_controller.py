@@ -124,3 +124,70 @@ def test_closed_loop_quasi_newton_configs(config_name, ref_problem,
         u = np.asarray(log[f"control{t}"])
         assert u.shape == (6,) and np.isfinite(u).all()
     assert np.isfinite(log["economicKpi"])
+
+
+@requires_reference
+@pytest.mark.parametrize("config_name", ["controllerFbeConfig.json",
+                                         "controllerNamaConfig.json"])
+def test_closed_loop_pallas_qn_backend_matches_xla(config_name,
+                                                   ref_problem):
+    """backend='pallas' (fused FBE/NAMA kernel, interpret on CPU)
+    matches the XLA closed loop.  Budget kept inside the measured
+    trajectory-agreement horizon (see tests/test_pallas_qn.py): beyond
+    it the chaotic line search forks the two valid trajectories."""
+    from rapidnet_tpu.model.config import SmpcConfig
+    from rapidnet_tpu.solver.controller import SmpcController
+
+    logs = []
+    for backend in ("xla", "pallas"):
+        cfg = SmpcConfig.from_json(fixture_path(config_name))
+        cfg.max_iterations = 6
+        fc = copy.deepcopy(ref_problem["forecaster"])
+        ctrl = SmpcController(cfg, network=ref_problem["network"],
+                              tree=ref_problem["tree"], forecaster=fc,
+                              backend=backend)
+        logs.append(ctrl.closed_loop(steps=2))
+    for t in range(2):
+        a = np.asarray(logs[0][f"control{t}"])
+        b = np.asarray(logs[1][f"control{t}"])
+        np.testing.assert_allclose(a, b, rtol=1e-3,
+                                   atol=1e-3 * max(np.abs(a).max(), 1.0))
+
+
+@requires_reference
+def test_closed_loop_golden_trajectory(ref_problem):
+    """Pin the end-to-end closed loop against a checked-in golden
+    trajectory (reference-config APG, built-in simulator, 4 steps) so
+    controller/engine plumbing refactors can't drift silently
+    (reference closed loop: src/main.cu:45-69).  Regenerate with
+    tests/golden/regen_closed_loop_apg.py if a numerics change is
+    intentional.
+    """
+    import json
+    import os
+
+    from rapidnet_tpu.solver.controller import SmpcController
+    gpath = os.path.join(os.path.dirname(__file__), "golden",
+                         "closed_loop_apg.json")
+    with open(gpath) as f:
+        golden = json.load(f)
+    cfg = copy.deepcopy(ref_problem["config"])
+    cfg.max_iterations = golden["max_iterations"]
+    fc = copy.deepcopy(ref_problem["forecaster"])
+    ctrl = SmpcController(cfg, network=ref_problem["network"],
+                          tree=ref_problem["tree"], forecaster=fc,
+                          backend="xla")
+    log = ctrl.closed_loop(steps=golden["steps"])
+    for t in range(golden["steps"]):
+        u = np.asarray(log[f"control{t}"], np.float32)
+        g = np.asarray(golden["controls"][t], np.float32)
+        np.testing.assert_allclose(
+            u, g, rtol=1e-4, atol=1e-3 * max(np.abs(g).max(), 1.0),
+            err_msg=f"control{t}")
+    for kpi in ("economicKpi", "smoothKpi", "safetyKpi", "networkKpi"):
+        np.testing.assert_allclose(log[kpi], golden[kpi], rtol=1e-3,
+                                   atol=1e-6, err_msg=kpi)
+    np.testing.assert_allclose(
+        np.asarray(ctrl.config.current_x, np.float32),
+        np.asarray(golden["final_state"], np.float32), rtol=1e-4,
+        atol=1e-3)

@@ -128,32 +128,49 @@ def test_proximal_step(golden, setup):
     assert_close_ref(from_fan(dual_psi), golden["dualU"], "dualU")
 
 
-@requires_reference
-def test_fixed_point_residual(golden, setup):
-    to_fan, from_fan, cfg = setup["to_fan"], setup["from_fan"], setup["cfg"]
+@pytest.fixture(scope="module")
+def oracle_out(golden, setup):
+    """One REAL solver iteration (apg.apg_oracle — the exact code the
+    APG loop runs) at the fixture's injected accelerated dual.
+
+    Unlike recomputing the residual/update identities from fixture
+    arrays, this drives solve_step -> prox_g -> residual -> dual
+    update through rapidnet_tpu.solver.apg, so a regression anywhere
+    in that chain (e.g. a flipped residual sign) fails these tests.
+    """
+    from rapidnet_tpu.solver import apg as apg_mod
+    to_fan, cfg = setup["to_fan"], setup["cfg"]
     nx, nu = cfg.nx, cfg.nu
-    res_xi = (to_fan(golden["primalX"], 2 * nx) -
-              to_fan(golden["dualX"], 2 * nx))
-    res_psi = to_fan(golden["primalU"], nu) - to_fan(golden["dualU"], nu)
-    assert_close_ref(from_fan(res_xi), golden["fixedPointResidualXi"],
-                     "residualXi")
-    assert_close_ref(from_fan(res_psi), golden["fixedPointResidualPsi"],
-                     "residualPsi")
+    w_xi = to_fan(golden["acceleXi"], 2 * nx)
+    w_psi = to_fan(golden["accelePsi"], nu)
+    fn = jax.jit(lambda fa, st, wxi, wpsi: apg_mod.apg_oracle(
+        fa, st, wxi, wpsi, prefix_stages=setup["prefix_stages"],
+        inv_step=1.0 / cfg.step_size, step_size=cfg.step_size,
+        penalty_state=cfg.penalty_state,
+        penalty_safety=cfg.penalty_safety, xs_upper=float(XS_UPPER)))
+    return fn(setup["fa"], setup["step"], w_xi, w_psi)
 
 
 @requires_reference
-def test_dual_update(golden, setup):
-    """y+ = w + step * residual (src/SmpcController.cu:859-864)."""
-    to_fan, from_fan, cfg = setup["to_fan"], setup["from_fan"], setup["cfg"]
-    nx, nu = cfg.nx, cfg.nu
-    upd_xi = (to_fan(golden["acceleXi"], 2 * nx) + cfg.step_size *
-              to_fan(golden["fixedPointResidualXi"], 2 * nx))
-    upd_psi = (to_fan(golden["accelePsi"], nu) + cfg.step_size *
-               to_fan(golden["fixedPointResidualPsi"], nu))
-    assert_close_ref(from_fan(upd_xi), golden["finalUpdateXi"],
-                     "finalUpdateXi")
-    assert_close_ref(from_fan(upd_psi), golden["finalUpdatePsi"],
-                     "finalUpdatePsi")
+def test_fixed_point_residual(golden, setup, oracle_out):
+    """Hz - t through the solver chain (src/SmpcController.cu:839-850;
+    TestSmpcController::testFixedPointResidual, .cu:345-398)."""
+    from_fan = setup["from_fan"]
+    assert_close_ref(from_fan(oracle_out["res_xi"]),
+                     golden["fixedPointResidualXi"], "residualXi")
+    assert_close_ref(from_fan(oracle_out["res_psi"]),
+                     golden["fixedPointResidualPsi"], "residualPsi")
+
+
+@requires_reference
+def test_dual_update(golden, setup, oracle_out):
+    """y+ = w + step * residual through the solver chain
+    (src/SmpcController.cu:859-864; testDualUpdate, .cu:291-340)."""
+    from_fan = setup["from_fan"]
+    assert_close_ref(from_fan(oracle_out["y_xi"]),
+                     golden["finalUpdateXi"], "finalUpdateXi")
+    assert_close_ref(from_fan(oracle_out["y_psi"]),
+                     golden["finalUpdatePsi"], "finalUpdatePsi")
 
 
 @requires_reference
