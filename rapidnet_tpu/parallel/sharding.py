@@ -80,27 +80,48 @@ def _step_specs(step: dict) -> dict:
     return specs
 
 
+def _put(x, spec, mesh: Mesh):
+    """Stage one array onto the mesh.
+
+    Single process: plain ``device_put``.  Multi-process mesh (pod
+    slice): cross-process assembly via the multihost data feed — every
+    process passes the identical global host array (the controller's
+    ``prepare_step`` is host-side and deterministic, so all hosts
+    compute the same step dict) and contributes only its scenario
+    block (``distributed._make_global``).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    if BATCH_AXIS in tuple(spec):
+        raise NotImplementedError(
+            "multi-process staging of the 2-D (batch, scen) mesh form "
+            "is not implemented — run batched mesh closed loops "
+            "single-process, or assemble global arrays with "
+            "jax.make_array_from_process_local_data yourself")
+    from rapidnet_tpu.parallel.distributed import _make_global
+    return _make_global(mesh, spec, np.asarray(x))
+
+
 def shard_factor_arrays(fa: dict, mesh: Mesh) -> dict:
     specs = _fa_specs(fa)
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), fa, specs,
+        lambda x, s: _put(x, s, mesh), fa, specs,
         is_leaf=lambda x: not isinstance(x, dict))
 
 
 def shard_step_arrays(step: dict, mesh: Mesh) -> dict:
     specs = _step_specs(step)
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), step, specs)
+    return jax.tree.map(lambda x, s: _put(x, s, mesh), step, specs)
 
 
 def shard_dual_arrays(y: dict, mesh: Mesh, batched: bool = False) -> dict:
     """Place a dual warm-start pair {xi, psi} onto the mesh (solver
     outputs already carry this sharding; use for host-built zeros or
     checkpoint-restored carries).  ``batched``: leading batch axis
-    sharded over BATCH_AXIS (2-D mesh)."""
+    sharded over BATCH_AXIS (2-D mesh, single-process staging only)."""
     spec = (P(BATCH_AXIS, None, AXIS, None) if batched
             else P(None, AXIS, None))
-    return {k: jax.device_put(jnp.asarray(y[k]), NamedSharding(mesh, spec))
+    return {k: _put(jnp.asarray(y[k]), spec, mesh)
             for k in ("xi", "psi")}
 
 
@@ -265,11 +286,11 @@ def make_sharded_apg_batch(mesh: Mesh, fa_template: dict,
 
 
 def shard_step_arrays_batch(steps: dict, mesh: Mesh) -> dict:
-    """Place a batched step dict on a 2-D (batch, scen) mesh."""
+    """Place a batched step dict on a 2-D (batch, scen) mesh
+    (single-process staging only; see ``_put``)."""
     def spec(v):
         return P(BATCH_AXIS, *( _step_specs({"_": v[0]})["_"] ))
-    return {k: jax.device_put(v, NamedSharding(mesh, spec(v)))
-            for k, v in steps.items()}
+    return {k: _put(v, spec(v), mesh) for k, v in steps.items()}
 
 
 def shard_shared_step(base: dict, inst: dict, mesh: Mesh) -> tuple:
@@ -279,12 +300,10 @@ def shard_shared_step(base: dict, inst: dict, mesh: Mesh) -> tuple:
     O(tree) transfer per control step), the per-instance vectors shard
     the batch axis (O(B nu) bytes) — instead of materialising and
     shipping the full O(B x tree) broadcast."""
-    base_s = {k: jax.device_put(
-        jnp.asarray(v), NamedSharding(mesh, P(None, AXIS, None)))
-        for k, v in base.items()}
-    inst_s = {k: jax.device_put(
-        jnp.asarray(v), NamedSharding(mesh, P(BATCH_AXIS, None)))
-        for k, v in inst.items()}
+    base_s = {k: _put(jnp.asarray(v), P(None, AXIS, None), mesh)
+              for k, v in base.items()}
+    inst_s = {k: _put(jnp.asarray(v), P(BATCH_AXIS, None), mesh)
+              for k, v in inst.items()}
     return base_s, inst_s
 
 

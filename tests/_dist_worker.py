@@ -44,7 +44,44 @@ def build_problem():
     return fa, step, kw
 
 
-def main(pid: int, nproc: int, port: int, out_path: str) -> int:
+def build_controller_problem():
+    """Deterministic synthetic problem for the controller-mesh mode."""
+    from rapidnet_tpu.model.config import synthetic_config
+    from rapidnet_tpu.model.forecaster import synthetic_forecaster
+    from rapidnet_tpu.model.network import synthetic_network
+    from rapidnet_tpu.model.scenario_tree import generate_tree
+
+    net = synthetic_network(nx=4, nu=7, nd=3, ne=2, seed=11)
+    tree = generate_tree(N=10, branching=[4, 2, 2], nd=3, nu=7, seed=11)
+    fc = synthetic_forecaster(N=10, nd=3, nu=7, sim_horizon=4, seed=11)
+    cfg = synthetic_config(net, tree, max_iterations=40, step_size=1e-3)
+    return cfg, net, tree, fc
+
+
+def run_controller(out_path: str, pid: int) -> None:
+    """The documented pod-slice recipe: SmpcController(mesh=...) over a
+    multi-process mesh — every host runs the identical closed loop; the
+    staging helpers feed each host's scenario block
+    (parallel.sharding._put -> distributed._make_global)."""
+    import numpy as np
+
+    from rapidnet_tpu.parallel.distributed import scenario_mesh
+    from rapidnet_tpu.solver.controller import SmpcController
+
+    cfg, net, tree, fc = build_controller_problem()
+    ctrl = SmpcController(cfg, network=net, tree=tree, forecaster=fc,
+                          mesh=scenario_mesh())
+    controls = []
+    for t in range(2):
+        controls.append(ctrl.control_action(t))
+        ctrl.move_forward_in_time()
+    if pid == 0:
+        np.savez(out_path, c0=controls[0], c1=controls[1],
+                 x=np.asarray(ctrl.config.current_x))
+
+
+def main(pid: int, nproc: int, port: int, out_path: str,
+         mode: str = "solve") -> int:
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     import jax
@@ -68,6 +105,11 @@ def main(pid: int, nproc: int, port: int, out_path: str) -> int:
     assert jax.process_count() == nproc
     assert len(jax.devices()) == 2 * nproc
 
+    if mode == "controller":
+        run_controller(out_path, pid)
+        jax.distributed.shutdown()
+        return 0
+
     fa, step, kw = build_problem()
     mesh = scenario_mesh()
     fa_sh, step_sh = shard_problem_multihost(mesh, fa, step)
@@ -83,4 +125,5 @@ def main(pid: int, nproc: int, port: int, out_path: str) -> int:
 
 if __name__ == "__main__":
     sys.exit(main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]),
-                  sys.argv[4]))
+                  sys.argv[4],
+                  sys.argv[5] if len(sys.argv) > 5 else "solve"))
