@@ -17,8 +17,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -150,13 +152,27 @@ def measure(repeats=REPEATS, include_qn=True):
     # solves/s is expected below APG's at equal iteration count.
     from rapidnet_tpu.solver import quasi_newton
     algo_solves_per_s = {"apg": BATCH / batch_p50}
+    algo_paths = {"apg": batch_best}
+    qn_fits = False
+    if on_tpu:
+        from rapidnet_tpu.ops import pallas_qn
+        qn_fits = pallas_qn.fits_vmem_qn(
+            pallas_qn.pad_qn_constants(fa), 5)
     for name, algo in (("fbe", "globalFbeAlgorithm"),
                        ("nama", "namaAlgorithm")) if include_qn else ():
         run_qn = jax.jit(quasi_newton.make_solver_batch(
             prefix_stages=eng.factor_step().prefix_stages,
             lbfgs_buffer_size=5, algorithm=algo, **kw))
-        p50_qn = time_batch(lambda s, r=run_qn: r(fa, s))
-        algo_solves_per_s[name] = BATCH / p50_qn
+        qn_times = {"xla": time_batch(lambda s, r=run_qn: r(fa, s))}
+        if qn_fits:
+            # race the fused whole-solve Pallas QN kernel — the path
+            # production dispatches on TPU (solver/batch.py)
+            run_qp = pallas_qn.make_qn_pallas_batch(
+                fa, algorithm=algo, lbfgs_buffer_size=5, **kw)
+            qn_times["pallas"] = time_batch(run_qp)
+        best_qn = min(qn_times, key=qn_times.get)
+        algo_solves_per_s[name] = BATCH / qn_times[best_qn]
+        algo_paths[name] = best_qn
 
     return {
         "p50_s": p50,
@@ -175,7 +191,42 @@ def measure(repeats=REPEATS, include_qn=True):
                            for k, v in batch_results.items()},
         "algo_solves_per_s": {k: round(v, 3)
                               for k, v in algo_solves_per_s.items()},
+        "algo_paths": algo_paths,
     }
+
+
+def regression_check(result: dict) -> None:
+    """Perf-regression tripwire: compare against the newest BENCH_r*.json
+    next to this script and flag >5% slowdowns on the tracked series
+    (the r01->r02 single-solve slip 31.9->34.2 ms went unremarked —
+    VERDICT round 2).  Informational: prints to stderr, never fails."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                        key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+    if not prev_files:
+        return
+    try:
+        with open(prev_files[-1]) as f:
+            prev = json.load(f).get("parsed", {})
+    except Exception:  # noqa: BLE001
+        return
+    name = os.path.basename(prev_files[-1])
+    series = [
+        ("batch32 solves/s", prev.get("value"),
+         result["batch_solves_per_s"], +1),
+        ("single-solve p50 ms", prev.get("single_solve_p50_ms"),
+         result["p50_s"] * 1e3, -1),
+    ]
+    for algo, rate in (prev.get("algo_solves_per_s") or {}).items():
+        series.append((f"{algo} solves/s", rate,
+                       result["algo_solves_per_s"].get(algo), +1))
+    for label, old, new, sign in series:
+        if not old or new is None:
+            continue
+        delta = (new - old) / old * sign   # positive = improvement
+        flag = "  ** REGRESSION >5% **" if delta < -0.05 else ""
+        print(f"[bench] vs {name}: {label} {old:.3f} -> {new:.3f} "
+              f"({delta * 100:+.1f}%){flag}", file=sys.stderr)
 
 
 def main():
@@ -199,8 +250,10 @@ def main():
           f"final infeasibility {res['final_infeasibility']:.3e}, "
           f"path={res['solver_path']} {res['paths_ms']}, "
           f"batch path={res['batch_path']} {res['batch_paths_ms']}, "
-          f"per-algorithm {res['algo_solves_per_s']} solves/s)",
+          f"per-algorithm {res['algo_solves_per_s']} solves/s "
+          f"via {res['algo_paths']})",
           file=sys.stderr)
+    regression_check(res)
 
     vs_baseline = 1.0
     if res["backend"] != "cpu":
