@@ -31,6 +31,8 @@ REPEATS = 7
 MAX_ITER = 500
 BATCH = 32          # measured throughput knee on TPU v5e-class chips
                     # (16 -> 164.9, 32 -> 194.6, 64 -> 206.4 solves/s)
+TTS_RTOL = 1e-3     # time-to-solution tolerance on the stage-0 control,
+                    # relative to its converged magnitude (see measure())
 
 
 def build_problem():
@@ -174,9 +176,70 @@ def measure(repeats=REPEATS, include_qn=True):
         algo_solves_per_s[name] = BATCH / qn_times[best_qn]
         algo_paths[name] = best_qn
 
+    # Time-to-solution: the honest cross-algorithm comparison the fixed
+    # 500-iteration budget structurally hides (the reference carries
+    # FBE/NAMA for convergence speed, src/SmpcController.cu:1529-1586).
+    # The fixed-point residual is the WRONG termination metric here: at
+    # the soft-constrained optimum it converges to the nonzero optimal
+    # penalty slack, and the dual iterate keeps drifting along the
+    # penalised directions — measured, both stall around O(0.1-1)
+    # while the CONTROL converges cleanly.  So: solution := APG's
+    # 500-iteration stage-0 control u* (the reference's default
+    # algorithm at the reference budget); time-to-solution of an
+    # algorithm := (its wall ms at budget) x k*/budget, where k* is
+    # the first iteration after which its control trace stays within
+    # TTS_RTOL * |u*|_inf of u*.  Cold and dual-warm-started (previous
+    # solve's duals at a 2%-perturbed state — the receding-horizon
+    # deployment pattern).  iterations = null marks an algorithm whose
+    # trace never stabilises at u* (an explicit negative result).
+    tts = {}
+    if include_qn:
+        kw_tr = dict(kw, trace_control=True)
+        solvers = {"apg": jax.jit(apg_mod.make_apg(
+            prefix_stages=eng.factor_step().prefix_stages, **kw_tr))}
+        for name, algo in (("fbe", "globalFbeAlgorithm"),
+                           ("nama", "namaAlgorithm")):
+            solvers[name] = jax.jit(quasi_newton.make_solver(
+                prefix_stages=eng.factor_step().prefix_stages,
+                lbfgs_buffer_size=5, algorithm=algo, **kw_tr))
+        xr = x0 * (1.0 + 0.02 * rng.standard_normal(x0.shape)
+                   ).astype(np.float32)
+        step0, step1 = make_step(x0), make_step(xr)
+
+        def solve_ms(run, args):
+            ts = []
+            for _ in range(max(3, repeats // 2)):
+                t0 = time.perf_counter()
+                out = jax.block_until_ready(run(fa, *args))
+                ts.append(time.perf_counter() - t0)
+            return out, float(np.median(ts)) * 1e3
+
+        out_ref, _ = solve_ms(solvers["apg"], (step1,))
+        u_star = np.asarray(out_ref["control_trace"])[-1]
+        tol_u = TTS_RTOL * max(float(np.abs(u_star).max()), 1.0)
+        for name, run in solvers.items():
+            out0 = jax.block_until_ready(run(fa, step0))
+            y_warm = out0["y"]
+            entry = {}
+            for mode, args in (("cold", (step1,)),
+                               ("warm", (step1, y_warm))):
+                out, ms = solve_ms(run, args)
+                tr = np.asarray(out["control_trace"])
+                err = np.abs(tr - u_star[None]).max(axis=1)
+                stable = np.flatnonzero(
+                    np.maximum.accumulate(err[::-1])[::-1] > tol_u)
+                k = int(stable[-1]) + 2 if stable.size else 1
+                solved = k <= MAX_ITER and err[-1] <= tol_u
+                entry[f"{mode}_iters"] = k if solved else None
+                entry[f"{mode}_ms"] = (round(ms * k / MAX_ITER, 3)
+                                       if solved else None)
+                entry[f"{mode}_budget_ms"] = round(ms, 3)
+            tts[name] = entry
+
     return {
         "p50_s": p50,
         "solves_per_s": 1.0 / p50,
+        "time_to_solution": {"control_rtol": TTS_RTOL, **tts},
         "batch": BATCH,
         "batch_p50_s": batch_p50,
         "batch_solves_per_s": BATCH / batch_p50,
@@ -253,6 +316,9 @@ def main():
           f"per-algorithm {res['algo_solves_per_s']} solves/s "
           f"via {res['algo_paths']})",
           file=sys.stderr)
+    print(f"[bench] time-to-solution (control rtol {TTS_RTOL:g} vs "
+          f"APG-500 answer): {json.dumps(res['time_to_solution'])}",
+          file=sys.stderr)
     regression_check(res)
 
     vs_baseline = 1.0
@@ -283,6 +349,8 @@ def main():
         "single_solve_p50_ms": round(res["p50_s"] * 1e3, 3),
         "single_solves_per_s": round(res["solves_per_s"], 3),
         "algo_solves_per_s": res["algo_solves_per_s"],
+        "algo_paths": res["algo_paths"],
+        "time_to_solution": res["time_to_solution"],
     }))
 
 

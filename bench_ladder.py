@@ -218,13 +218,15 @@ def _device_scaling_child(n_dev: int, iters: int) -> None:
                           **_solver_kw(cfg))
     jax.block_until_ready(fn(fa_sh, step_sh))
     ts = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         jax.block_until_ready(fn(fa_sh, step_sh))
         ts.append(time.perf_counter() - t0)
     ms = float(np.median(ts) * 1e3)
     out = {"n_devices": n_dev, "p50_ms": round(ms, 3),
-           "ms_per_iter": round(ms / iters, 4)}
+           "min_ms": round(float(np.min(ts) * 1e3), 3),
+           "ms_per_iter": round(ms / iters, 4),
+           "oversubscribed": n_dev > (os.cpu_count() or 1)}
 
     # per-iteration collective census: compile a ONE-iteration sharded
     # solve and count every collective in its optimized HLO — each
@@ -258,19 +260,31 @@ def _device_scaling_child(n_dev: int, iters: int) -> None:
     print("CHILD:" + json.dumps(out))
 
 
-def device_scaling_table(iters: int = 50) -> list:
-    """Run the 1024-scenario sharded solve at 1/2/4/8 virtual CPU
-    devices in fresh subprocesses (XLA_FLAGS must precede backend
-    start).  Virtual devices share physical cores: constant total work
-    on the same silicon means ideal is FLAT ms; deviation measures
-    partitioning + collective overhead."""
+def device_scaling_table(iters: int = 50) -> dict:
+    """Run the 1024-scenario sharded solve on 1..8 virtual CPU devices
+    in fresh subprocesses (XLA_FLAGS must precede backend start).
+
+    Methodology (VERDICT round-2 item 6): every child pins XLA's CPU
+    backend to ONE compute thread per device
+    (--xla_cpu_multi_thread_eigen=false intra_op_parallelism_threads=1),
+    so an n-device run uses n OS threads on the host's physical cores.
+    With constant total work split n ways, device counts up to the core
+    count measure STRONG scaling (ideal ms = t1/n); device counts above
+    it are oversubscribed — they validate functionality and count
+    collectives but their timings support no scaling conclusion (they
+    are labelled `oversubscribed` and excluded from the efficiency
+    metric).  5 repeats per point, median + min reported.
+    """
+    cores = os.cpu_count() or 1
     table = []
     for n in (1, 2, 4, 8):
         env = dict(
             os.environ,
             JAX_PLATFORMS="cpu",
             XLA_FLAGS=(os.environ.get("XLA_FLAGS", "") +
-                       f" --xla_force_host_platform_device_count={n}"))
+                       f" --xla_force_host_platform_device_count={n}"
+                       " --xla_cpu_multi_thread_eigen=false"
+                       " intra_op_parallelism_threads=1"))
         cp = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
              "--device-scaling-child", str(n),
@@ -285,7 +299,18 @@ def device_scaling_table(iters: int = 50) -> list:
             continue
         table.append(json.loads(line[-1][len("CHILD:"):]))
         print(json.dumps(table[-1]))
-    return table
+    out = {"host_cores": cores, "threads_per_device": 1,
+           "methodology": "strong scaling, 1 XLA compute thread per "
+                          "device; rows with n_devices > host_cores "
+                          "are oversubscribed (functional evidence "
+                          "only)",
+           "rows": table}
+    timed = {r["n_devices"]: r for r in table
+             if "p50_ms" in r and not r.get("oversubscribed")}
+    if 1 in timed and cores in timed and cores > 1:
+        out["strong_scaling_efficiency"] = round(
+            timed[1]["p50_ms"] / (cores * timed[cores]["p50_ms"]), 3)
+    return out
 
 
 def main(argv=None):

@@ -106,7 +106,9 @@ class FactorData:
     umax: np.ndarray       # (N, ns, nu)
     # prefix aggregation: stages (desc order) and stacked C matrices
     prefix_stages: tuple   # static tuple of ints, descending
-    prefix_C: dict         # stage -> (ns, ns) float32
+    prefix_C: dict         # stage -> (ns, ns) float32 (= Bp @ Cp)
+    prefix_Cp: dict        # stage -> (Rp, ns) distinct-parent child sums
+    prefix_Bp: dict        # stage -> (ns, Rp) parent -> slot broadcast
     final_branch_stage: int
 
 
@@ -206,6 +208,8 @@ class Engine:
             umin=gather(self.umin_node), umax=gather(self.umax_node),
             prefix_stages=prefix_stages,
             prefix_C={s: tree.prefix_agg[s] for s in prefix_stages},
+            prefix_Cp={s: tree.prefix_Cp[s] for s in prefix_stages},
+            prefix_Bp={s: tree.prefix_Bp[s] for s in prefix_stages},
             final_branch_stage=tree.final_branch_stage,
         )
         return self._factor

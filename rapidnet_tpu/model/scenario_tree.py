@@ -63,6 +63,10 @@ class ScenarioTree:
     final_branch_stage: int = field(default=0)
     final_branch_node: int = field(default=0)
     prefix_agg: dict = field(default=None)  # stage s -> (ns, ns) float32 C_s
+    # factored aggregation C_s = Bp_s @ Cp_s over the DISTINCT parent
+    # nodes (communication-minimal sharded form; see solve_step.py):
+    prefix_Cp: dict = field(default=None)   # s -> (Rp, ns): child-sum
+    prefix_Bp: dict = field(default=None)   # s -> (ns, Rp): broadcast
 
     # ------------------------------------------------------------------
     @classmethod
@@ -194,6 +198,27 @@ class ScenarioTree:
                       parent_of_slot[None, :]) &
                      (rep[s] > 0)[None, :]).astype(np.float32)
             self.prefix_agg[s] = C
+
+        # factored form over the DISTINCT stage-(s-1) parent nodes:
+        # C_s = Bp_s @ Cp_s with Cp_s (Rp, ns) summing representative
+        # child slots into each parent and Bp_s (ns, Rp) broadcasting
+        # parent values back to slots.  Under scenario-axis sharding
+        # only the (Rp, d) parent block crosses shards (one psum) —
+        # Rp = nodesPerStage[s-1] << ns at the shallow prefix stages —
+        # instead of all-gathering the full (ns, d) slot block.
+        self.prefix_Cp, self.prefix_Bp = {}, {}
+        for s in self.prefix_agg:
+            base = int(self.nodes_per_stage_cumul[s - 1])
+            Rp = int(self.nodes_per_stage[s - 1])
+            parent_slot = node_of_slot[s - 1] - base            # (ns,)
+            Bp = np.zeros((ns, Rp), np.float32)
+            Bp[np.arange(ns), parent_slot] = 1.0
+            child_parent = self.ancestor[node_of_slot[s]] - base  # (ns,)
+            Cp = np.zeros((Rp, ns), np.float32)
+            reps = np.flatnonzero(rep[s] > 0)
+            Cp[child_parent[reps], reps] = 1.0
+            self.prefix_Cp[s] = Cp
+            self.prefix_Bp[s] = Bp
 
     def _fan_layout_native(self):
         """C++ fast path for the scenario-path walk (native/jsonfast.cpp

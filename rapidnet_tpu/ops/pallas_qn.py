@@ -637,14 +637,26 @@ def make_qn_pallas(fa: dict, *, algorithm, inv_step, step_size,
 
 
 def make_qn_pallas_batch(fa: dict, **kwargs):
-    """Batched fused FBE/NAMA: B independent instances per call
-    (``jax.vmap`` over the whole-solve kernel, batch axis -> grid)."""
+    """Batched fused FBE/NAMA: B independent instances per call.
+
+    Unlike the APG kernel (pallas_apg.make_apg_pallas_batch, which
+    vmaps the batch onto the Pallas grid), the QN kernel's working set
+    includes the (buffer_size+1)-column L-BFGS curvature pairs — under
+    a vmap->grid batching rule Mosaic double-buffers every operand
+    block on top of that and the compile exceeds VMEM at Barcelona
+    bench scale (measured).  So the batch runs as ``lax.map`` over the
+    whole-solve kernel inside one jitted program: sequential kernel
+    invocations on the single core (which is how a grid executes
+    anyway), single-instance VMEM footprint, one dispatch for all B
+    solves.
+    """
     run = make_qn_pallas(fa, **kwargs)
-    v_cold = jax.jit(jax.vmap(lambda s: run(s)))
-    v_warm = jax.jit(jax.vmap(run))
+    m_cold = jax.jit(lambda steps: jax.lax.map(run, steps))
+    m_warm = jax.jit(lambda steps, y0: jax.lax.map(
+        lambda args: run(args[0], args[1]), (steps, y0)))
 
     def run_batch(steps, y0=None):
-        return v_cold(steps) if y0 is None else v_warm(steps, y0)
+        return m_cold(steps) if y0 is None else m_warm(steps, y0)
 
     return run_batch
 
@@ -663,12 +675,18 @@ def make_qn_pallas_batch_shared(fa: dict, **kwargs):
         step = expand_shared_step(base, x0, pu, puh, dlt)
         return run(step) if y0 is None else run(step, y0)
 
-    v_cold = jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0, 0)))
-    v_warm = jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0, 0, 0)))
+    # lax.map, not vmap->grid: see make_qn_pallas_batch (VMEM)
+    m_cold = jax.jit(lambda base, inst: jax.lax.map(
+        lambda a: one(base, *a),
+        (inst["x0"], inst["prev_u"], inst["prev_uhat"],
+         inst["delta_beta0"])))
+    m_warm = jax.jit(lambda base, inst, y0: jax.lax.map(
+        lambda a: one(base, *a),
+        (inst["x0"], inst["prev_u"], inst["prev_uhat"],
+         inst["delta_beta0"], y0)))
 
     def run_batch(base, inst, y0=None):
-        args = (base, inst["x0"], inst["prev_u"], inst["prev_uhat"],
-                inst["delta_beta0"])
-        return v_cold(*args) if y0 is None else v_warm(*args, y0)
+        return (m_cold(base, inst) if y0 is None
+                else m_warm(base, inst, y0))
 
     return run_batch

@@ -72,23 +72,22 @@ def _make_global(mesh: Mesh, spec: P, global_np):
     """Globally-sharded array from a full copy of the global data.
 
     Every host holds the (small, host-side) global numpy arrays; this
-    carves out the process-local block along the scenario axis and
-    assembles the jax.Array across processes.  Single-process: a plain
-    device_put.
+    carves out exactly the shards owned by this process's devices and
+    assembles the jax.Array across processes.  Works for ANY partition
+    spec — 1-D scenario meshes and the 2-D (batch, scen) pod-slice mesh
+    alike (each addressable device receives its own index block, so no
+    per-axis process-contiguity assumption is needed).  Single-process:
+    a plain device_put.
     """
     sharding = NamedSharding(mesh, spec)
     if jax.process_count() == 1:
         return jax.device_put(global_np, sharding)
-    local = global_np
-    for dim, name in enumerate(spec):
-        if name == AXIS:
-            n = global_np.shape[dim]
-            sl = host_local_scenario_slice(n)
-            local = np.take(np.asarray(global_np),
-                            np.arange(sl.start, sl.stop), axis=dim)
-            break
-    return jax.make_array_from_process_local_data(
-        sharding, np.asarray(local), global_np.shape)
+    global_np = np.asarray(global_np)
+    idx_map = sharding.addressable_devices_indices_map(global_np.shape)
+    shards = [jax.device_put(np.ascontiguousarray(global_np[idx]), d)
+              for d, idx in idx_map.items()]
+    return jax.make_array_from_single_device_arrays(
+        global_np.shape, sharding, shards)
 
 
 def shard_problem_multihost(mesh: Mesh, fa: dict, step: dict):

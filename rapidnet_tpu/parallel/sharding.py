@@ -61,6 +61,12 @@ def _fa_specs(fa: dict) -> dict:
     for k, v in fa.items():
         if k == "prefix_C":
             specs[k] = {s: P(AXIS, None) for s in v}
+        elif k == "prefix_Cp":
+            # child-sum operators: columns = slot axis (sharded); the
+            # (Rp, d) parent block they produce is psum'd across shards
+            specs[k] = {s: P(None, AXIS) for s in v}
+        elif k == "prefix_Bp":
+            specs[k] = {s: P(AXIS, None) for s in v}
         elif k == "rep":
             specs[k] = P(None, AXIS)
         elif hasattr(v, "ndim") and v.ndim == 3:
@@ -87,17 +93,12 @@ def _put(x, spec, mesh: Mesh):
     slice): cross-process assembly via the multihost data feed — every
     process passes the identical global host array (the controller's
     ``prepare_step`` is host-side and deterministic, so all hosts
-    compute the same step dict) and contributes only its scenario
-    block (``distributed._make_global``).
+    compute the same step dict) and contributes exactly the shards its
+    devices own (``distributed._make_global``).  Handles both the 1-D
+    scenario mesh and the 2-D (batch, scen) mesh.
     """
     if jax.process_count() == 1:
         return jax.device_put(x, NamedSharding(mesh, spec))
-    if BATCH_AXIS in tuple(spec):
-        raise NotImplementedError(
-            "multi-process staging of the 2-D (batch, scen) mesh form "
-            "is not implemented — run batched mesh closed loops "
-            "single-process, or assemble global arrays with "
-            "jax.make_array_from_process_local_data yourself")
     from rapidnet_tpu.parallel.distributed import _make_global
     return _make_global(mesh, spec, np.asarray(x))
 

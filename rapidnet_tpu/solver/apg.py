@@ -71,7 +71,7 @@ def make_apg(*, prefix_stages: tuple, inv_step: float, step_size: float,
              penalty_state: float, penalty_safety: float, xs_upper: float,
              max_iterations: int, axis_name: str | None = None,
              project_control: bool = True, tolerance: float | None = None,
-             dual_dtype=jnp.float32):
+             dual_dtype=jnp.float32, trace_control: bool = False):
     """Build the jittable APG solve function.
 
     Returns fn(fa, step, y0=None) -> dict with final x, u, v, duals and
@@ -160,13 +160,23 @@ def make_apg(*, prefix_stages: tuple, inv_step: float, step_size: float,
 
             def body(c, _):
                 c, (inf, _) = one_iteration(fa, step, c)
-                return c, inf
+                out = (inf, c["u"][0, 0]) if trace_control else inf
+                return c, out
 
-            carry, infeas = lax.scan(body, carry, None,
+            carry, traces = lax.scan(body, carry, None,
                                      length=max_iterations,
                                      unroll=ITER_UNROLL)
-            return finish(fa, carry, infeas,
-                          jnp.int32(max_iterations))
+            if trace_control:
+                infeas, u_trace = traces
+            else:
+                infeas = traces
+            out = finish(fa, carry, infeas, jnp.int32(max_iterations))
+            if trace_control:
+                # per-iteration stage-0 control (unprojected): the
+                # time-to-solution diagnostic — iterations until u0
+                # stabilises at the budget answer (bench.py)
+                out["control_trace"] = u_trace
+            return out
     else:
         def run(fa, step, y0=None):
             carry = init_carry(fa, step, y0)

@@ -55,6 +55,8 @@ def _factor_arrays(engine: Engine) -> dict:
         "xs": jnp.asarray(fd.xs),
         "umin": jnp.asarray(fd.umin), "umax": jnp.asarray(fd.umax),
         "prefix_C": {s: jnp.asarray(C) for s, C in fd.prefix_C.items()},
+        "prefix_Cp": {s: jnp.asarray(C) for s, C in fd.prefix_Cp.items()},
+        "prefix_Bp": {s: jnp.asarray(B) for s, B in fd.prefix_Bp.items()},
         "Wv": jnp.asarray(engine.Wv),
         "alpha1": jnp.asarray(engine.network.alpha1),
         "W": jnp.asarray(engine.config.cost_w),

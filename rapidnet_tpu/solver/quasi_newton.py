@@ -280,7 +280,8 @@ def make_solver(*, algorithm: str, prefix_stages: tuple, inv_step: float,
                 penalty_safety: float, xs_upper: float,
                 max_iterations: int, lbfgs_buffer_size: int,
                 axis_name: str | None = None, project_control: bool = True,
-                tolerance: float | None = None):
+                tolerance: float | None = None,
+                trace_control: bool = False):
     """Build the jittable FBE or NAMA solve function fn(fa, step, y0=None).
 
     Beyond reference parity (the reference treats the quasi-Newton
@@ -419,12 +420,18 @@ def make_solver(*, algorithm: str, prefix_stages: tuple, inv_step: float,
 
             def body(c, it):
                 c, (inf, val, tau, _) = one_iteration(fa, step, c, it)
-                return c, (inf, val, tau)
+                out = ((inf, val, tau, c["u"][0, 0]) if trace_control
+                       else (inf, val, tau))
+                return c, out
 
-            carry, (infeas, values, taus) = lax.scan(
+            carry, traces = lax.scan(
                 body, carry, jnp.arange(max_iterations))
-            return finish(fa, carry, infeas, values, taus,
-                          jnp.int32(max_iterations))
+            infeas, values, taus = traces[:3]
+            out = finish(fa, carry, infeas, values, taus,
+                         jnp.int32(max_iterations))
+            if trace_control:
+                out["control_trace"] = traces[3]
+            return out
     else:
         def run(fa, step, y0=None):
             carry = init_carry(fa, step, y0)

@@ -151,13 +151,20 @@ def backward_sweep(fa: dict, w_xi: jnp.ndarray, w_psi: jnp.ndarray,
         q, r, v_s = stage_math(q, r, xs)
         v_prefix.append(v_s)
         if s > 0 and s in prefix_stages:
-            C = fa["prefix_C"][s]
+            # child -> parent aggregation in factored form
+            # C = Bp @ Cp over the DISTINCT parents (scenario_tree.py):
+            # sharded, only the (Rp, nx+nv) parent block crosses shards
+            # (one psum per stage) — Rp = nodesPerStage[s-1], a few
+            # nodes at the shallow prefix stages — instead of
+            # all-gathering the full (ns, nx)+(ns, nv) slot blocks
+            # (measured 2.62 MB/iter -> 33 kB/iter at the 1024-scenario
+            # ladder config; docs/multihost.md).
+            Cp, Bp = fa["prefix_Cp"][s], fa["prefix_Bp"][s]
+            parents = jnp.concatenate([_mm(Cp, q), _mm(Cp, r)], axis=-1)
             if axis_name is not None:
-                q = _mm(C, lax.all_gather(q, axis_name, tiled=True))
-                r = _mm(C, lax.all_gather(r, axis_name, tiled=True))
-            else:
-                q = _mm(C, q)
-                r = _mm(C, r)
+                parents = lax.psum(parents, axis_name)
+            q = _mm(Bp, parents[:, :nx])
+            r = _mm(Bp, parents[:, nx:])
     if v_prefix:
         v_prefix = jnp.stack(v_prefix[::-1])
         v = jnp.concatenate([v_prefix, v_tail], axis=0)

@@ -80,6 +80,51 @@ def run_controller(out_path: str, pid: int) -> None:
                  x=np.asarray(ctrl.config.current_x))
 
 
+def build_batch2d_steps(step: dict) -> dict:
+    """Two deterministic problem instances (B=2) from the base step."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    steps = {}
+    for k, v in step.items():
+        v = np.asarray(v)
+        pert = (v * (1.0 + 0.05 * rng.standard_normal(v.shape))
+                ).astype(v.dtype)
+        steps[k] = np.stack([v, pert])
+    return steps
+
+
+def run_batch2d(out_path: str, pid: int) -> None:
+    """Multi-process 2-D (batch x scen) mesh: B=2 problem instances
+    data-parallel over BATCH_AXIS, each instance's scenario tree
+    sharded over AXIS, across 2 processes (BASELINE config 5's batched
+    pod-slice shape).  Staging goes through the generic per-device
+    shard assembly (parallel.sharding._put -> distributed._make_global),
+    which round-2 explicitly did not implement for batch specs."""
+    import jax
+    import numpy as np
+
+    from rapidnet_tpu.parallel import (make_mesh_2d,
+                                       make_sharded_apg_batch,
+                                       shard_factor_arrays,
+                                       shard_step_arrays_batch)
+
+    fa, step, kw = build_problem()
+    steps = build_batch2d_steps(step)
+    mesh = make_mesh_2d(2, 2)
+    fa_sh = shard_factor_arrays(fa, mesh)
+    steps_sh = shard_step_arrays_batch(steps, mesh)
+    run = make_sharded_apg_batch(mesh, fa, step, **kw)
+    out = run(fa_sh, steps_sh)
+    # the (B, nu) controls are batch-sharded across processes; gather
+    # the global value on every host before saving
+    from jax.experimental import multihost_utils
+    controls = np.asarray(
+        multihost_utils.process_allgather(out["control"], tiled=True))
+    if pid == 0:
+        np.savez(out_path, controls=controls)
+
+
 def main(pid: int, nproc: int, port: int, out_path: str,
          mode: str = "solve") -> int:
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -107,6 +152,10 @@ def main(pid: int, nproc: int, port: int, out_path: str,
 
     if mode == "controller":
         run_controller(out_path, pid)
+        jax.distributed.shutdown()
+        return 0
+    if mode == "batch2d":
+        run_batch2d(out_path, pid)
         jax.distributed.shutdown()
         return 0
 

@@ -141,3 +141,19 @@ def test_synthetic_network_wellposed():
     net.validate()
     L, Lhat = nullspace_elimination(net.matE, net.matEd)
     validate_nullspace(net.matE, net.matEd, L, Lhat)
+
+
+def test_prefix_agg_factored_form():
+    """C_s == Bp_s @ Cp_s exactly (the sharded solve's factored
+    child->parent aggregation over distinct parents)."""
+    from rapidnet_tpu.model.scenario_tree import generate_tree
+    tree = generate_tree(N=8, branching=[3, 2, 2], nd=4, nu=6, seed=5)
+    assert set(tree.prefix_Cp) == set(tree.prefix_agg)
+    for s, C in tree.prefix_agg.items():
+        Cp, Bp = tree.prefix_Cp[s], tree.prefix_Bp[s]
+        Rp = int(tree.nodes_per_stage[s - 1])
+        assert Cp.shape == (Rp, tree.ns) and Bp.shape == (tree.ns, Rp)
+        np.testing.assert_array_equal(Bp @ Cp, C)
+        # each representative child slot feeds exactly one parent
+        np.testing.assert_array_equal(Cp.sum(0), tree.rep[s])
+        np.testing.assert_array_equal(Bp.sum(1), np.ones(tree.ns))

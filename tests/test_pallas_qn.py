@@ -160,7 +160,7 @@ def test_pallas_qn_converged_quality(algorithm):
     assert tail_p < 10 * max(tail_x, 1e-6), (tail_p, tail_x)
     # identical feasibility of the applied control
     fa_np = {k: np.asarray(v) for k, v in fa.items()
-             if k not in ("prefix_C",)}
+             if not isinstance(v, dict)}
     u0 = np.asarray(out["control"])
     assert (u0 >= fa_np["umin"][0, 0] - 1e-5).all()
     assert (u0 <= fa_np["umax"][0, 0] + 1e-5).all()

@@ -189,6 +189,7 @@ def test_apg_end_to_end(setup):
     # convergence: last-50 mean infeasibility well below first-50 mean
     assert infs[-50:].mean() < 0.5 * infs[:50].mean()
     u0 = np.asarray(out["control"])
-    fa_np = {k: np.asarray(v) for k, v in fa.items() if k != "prefix_C"}
+    fa_np = {k: np.asarray(v) for k, v in fa.items()
+             if not isinstance(v, dict)}
     assert (u0 >= fa_np["umin"][0, 0] - 1e-5).all()
     assert (u0 <= fa_np["umax"][0, 0] + 1e-5).all()
