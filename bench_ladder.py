@@ -87,13 +87,20 @@ def _solver_kw(cfg):
                 max_iterations=cfg.max_iterations)
 
 
-def _solver(cfg, eng, fa, *, batch=None, dual_dtype=None):
+def _solver(cfg, eng, fa, *, batch=None, dual_dtype=None,
+            backend=None):
     import jax
 
     from rapidnet_tpu.solver import apg as apg_mod
 
     kw = _solver_kw(cfg)
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if backend == "stream":
+        # streaming grid-over-stages kernel (large trees whose working
+        # set exceeds VMEM — config 5's regime; ops/pallas_stream.py)
+        from rapidnet_tpu.ops import pallas_stream
+        run = pallas_stream.make_apg_stream(fa, **kw)
+        return (lambda steps: run(steps)), "pallas-stream"
     if on_tpu and dual_dtype is None:
         from rapidnet_tpu.ops import pallas_apg
         if pallas_apg.fits_vmem(pallas_apg.pad_constants(fa)):
@@ -132,14 +139,15 @@ def _rand_x0(cfg, rng):
 
 
 def run_config(name, dims, N, branching, repeats, *, batch=None,
-               tune=True, dual_dtype=None, problem=None):
+               tune=True, dual_dtype=None, problem=None, backend=None):
     import jax.numpy as jnp
     rng = np.random.default_rng(7)
     if problem is None:
         problem = _build(*dims, N, branching, tune=tune,
                          max_iter=MAX_ITER)
     cfg, eng, fa, make_step, tree = problem
-    fn, path = _solver(cfg, eng, fa, batch=batch, dual_dtype=dual_dtype)
+    fn, path = _solver(cfg, eng, fa, batch=batch, dual_dtype=dual_dtype,
+                       backend=backend)
     if batch:
         steps = [make_step(_rand_x0(cfg, rng)) for _ in range(batch)]
         arg = {k: jnp.stack([s[k] for s in steps]) for k in steps[0]}
@@ -370,6 +378,15 @@ def main(argv=None):
     rows.append(run_config("5_1024scenario_H24_bf16z", *_cfg5_args(),
                            rep5, dual_dtype="bfloat16",
                            problem=prob5)[0])
+    # 5s: streaming grid-over-stages Pallas kernel (the working set
+    # exceeds VMEM at this scale; ops/pallas_stream.py)
+    try:
+        rows.append(run_config("5_1024scenario_H24_stream",
+                               *_cfg5_args(), rep5, backend="stream",
+                               problem=prob5)[0])
+    except Exception as exc:  # noqa: BLE001
+        rows.append({"config": "5_1024scenario_H24_stream",
+                     "error": str(exc)[:300]})
     # 5c: same solve through shard_map on a 1-device mesh
     # (quantifies shard_map overhead on the real chip)
     try:

@@ -397,8 +397,13 @@ def make_apg_pallas(fa: dict, *, inv_step, step_size, penalty_state,
         penalty_state=penalty_state, penalty_safety=penalty_safety,
         xs_upper=xs_upper, max_iterations=max_iterations,
         interpret=interpret)
-    umin00 = jnp.asarray(np.asarray(fa["umin"])[0, 0])
-    umax00 = jnp.asarray(np.asarray(fa["umax"])[0, 0])
+    # physical root-control bounds (solve_step.root_control_bounds)
+    if "umin_phys" in fa:
+        umin00 = jnp.asarray(np.asarray(fa["umin_phys"]))
+        umax00 = jnp.asarray(np.asarray(fa["umax_phys"]))
+    else:
+        umin00 = jnp.asarray(np.asarray(fa["umin"])[0, 0])
+        umax00 = jnp.asarray(np.asarray(fa["umax"])[0, 0])
     # Constants live on device as explicit arguments (NOT jit-baked
     # literals): baked literals are re-shipped with every execute on
     # remote-device transports, costing a fixed ~tens-of-ms per solve.

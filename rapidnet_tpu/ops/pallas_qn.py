@@ -600,8 +600,13 @@ def make_qn_pallas(fa: dict, *, algorithm, inv_step, step_size,
         penalty_safety=penalty_safety, xs_upper=xs_upper,
         max_iterations=max_iterations,
         lbfgs_buffer_size=lbfgs_buffer_size, interpret=interpret)
-    umin00 = jnp.asarray(np.asarray(fa["umin"])[0, 0])
-    umax00 = jnp.asarray(np.asarray(fa["umax"])[0, 0])
+    # physical root-control bounds (solve_step.root_control_bounds)
+    if "umin_phys" in fa:
+        umin00 = jnp.asarray(np.asarray(fa["umin_phys"]))
+        umax00 = jnp.asarray(np.asarray(fa["umax_phys"]))
+    else:
+        umin00 = jnp.asarray(np.asarray(fa["umin"])[0, 0])
+        umax00 = jnp.asarray(np.asarray(fa["umax"])[0, 0])
     const_device = tuple(jnp.asarray(consts[k]) for k in QN_CONST_NAMES)
 
     @jax.jit

@@ -129,9 +129,12 @@ def shard_dual_arrays(y: dict, mesh: Mesh, batched: bool = False) -> dict:
 
 def _broadcast_root_control(out: dict, fa: dict) -> dict:
     """Stage-0 control lives in slot 0 (the scenario-axis-0 owner's
-    shard); project onto its preconditioned bounds and broadcast
-    (reference parity with src/SmpcController.cu:1647-1649)."""
-    u0 = jnp.clip(out["u"][0, 0], fa["umin"][0, 0], fa["umax"][0, 0])
+    shard); project onto the PHYSICAL control bounds and broadcast
+    (src/SmpcController.cu:1647-1649; see solve_step.
+    root_control_bounds for the deliberate bounds deviation)."""
+    from rapidnet_tpu.solver.solve_step import root_control_bounds
+    lo, hi = root_control_bounds(fa)
+    u0 = jnp.clip(out["u"][0, 0], lo, hi)
     idx = lax.axis_index(AXIS)
     u0 = jnp.where(idx == 0, u0, jnp.zeros_like(u0))
     out["control"] = lax.psum(u0, AXIS)

@@ -142,8 +142,8 @@ def make_apg(*, prefix_stages: tuple, inv_step: float, step_size: float,
         # src/SmpcController.cu:1647-1649.  (Skipped in sharded mode where
         # slot 0 lives on one device; the caller projects instead.)
         if project_control:
-            u0 = jnp.clip(carry["u"][0, 0], fa["umin"][0, 0],
-                          fa["umax"][0, 0])
+            lo, hi = ss.root_control_bounds(fa)
+            u0 = jnp.clip(carry["u"][0, 0], lo, hi)
         else:
             u0 = carry["u"][0, 0]
         return {

@@ -60,6 +60,11 @@ def _factor_arrays(engine: Engine) -> dict:
         "Wv": jnp.asarray(engine.Wv),
         "alpha1": jnp.asarray(engine.network.alpha1),
         "W": jnp.asarray(engine.config.cost_w),
+        # PHYSICAL control bounds for the final projection — see
+        # solve_step.root_control_bounds (deliberate deviation from the
+        # reference's projection onto preconditioned bounds)
+        "umin_phys": jnp.asarray(engine.network.umin, jnp.float32),
+        "umax_phys": jnp.asarray(engine.network.umax, jnp.float32),
     }
     return fa
 
@@ -98,16 +103,17 @@ class SmpcController:
         """
         if isinstance(config, str):
             config = SmpcConfig.from_json(config)
-        if backend not in ("auto", "xla", "pallas"):
+        if backend not in ("auto", "xla", "pallas", "stream"):
             raise ValueError(f"unknown backend '{backend}'")
         if mesh is not None:
-            if backend == "pallas":
+            if backend in ("pallas", "stream"):
                 raise ValueError("sharded solves run on the XLA path; "
-                                 "backend='pallas' is single-device")
+                                 f"backend='{backend}' is single-device")
             backend = "xla"
         self.mesh = mesh
         self.backend = backend
         self._use_pallas = False
+        self._use_stream = False
         self.warm_start = warm_start
         self.tolerance = tolerance
         self._y_carry = None
@@ -144,14 +150,19 @@ class SmpcController:
             return
         if self.backend != "xla":
             self._use_pallas = self._pick_pallas()
-        if self._use_pallas:
+        if self._use_pallas or self._use_stream:
             p_kw = dict(inv_step=float(1.0 / cfg.step_size),
                         step_size=float(cfg.step_size),
                         penalty_state=float(cfg.penalty_state),
                         penalty_safety=float(cfg.penalty_safety),
                         xs_upper=float(XS_UPPER),
                         max_iterations=int(cfg.max_iterations))
-            if cfg.algorithm == ALGORITHM_APG:
+            if self._use_stream:
+                # large-tree streaming kernel (working set > VMEM)
+                from rapidnet_tpu.ops import pallas_stream
+                self._solver = pallas_stream.make_apg_stream(
+                    self._fa, **p_kw)
+            elif cfg.algorithm == ALGORITHM_APG:
                 from rapidnet_tpu.ops import pallas_apg
                 self._solver = pallas_apg.make_apg_pallas(self._fa, **p_kw)
             else:
@@ -214,14 +225,23 @@ class SmpcController:
         self._solver = run
 
     def _pick_pallas(self) -> bool:
-        """Auto/forced selection of a fused Pallas solve kernel
-        (ops/pallas_apg.py for APG, ops/pallas_qn.py for FBE/NAMA)."""
+        """Auto/forced selection of a fused Pallas solve kernel:
+        the whole-solve kernels (ops/pallas_apg.py, ops/pallas_qn.py)
+        when the padded working set fits VMEM; the streaming
+        grid-over-stages APG kernel (ops/pallas_stream.py, sets
+        ``self._use_stream``) for larger trees."""
         if self.tolerance is not None:
             # early termination runs on the XLA while_loop path
-            if self.backend == "pallas":
+            if self.backend in ("pallas", "stream"):
                 raise ValueError(
-                    "backend='pallas' does not support tolerance-based "
-                    "early termination; use backend='xla'")
+                    f"backend='{self.backend}' does not support "
+                    "tolerance-based early termination; use "
+                    "backend='xla'")
+            return False
+        if self.backend == "stream":
+            if self.config.algorithm != ALGORITHM_APG:
+                raise ValueError("backend='stream' implements APG only")
+            self._use_stream = True
             return False
         if self.backend == "pallas":
             return True
@@ -230,8 +250,18 @@ class SmpcController:
             return False
         if self.config.algorithm == ALGORITHM_APG:
             from rapidnet_tpu.ops import pallas_apg
-            return pallas_apg.fits_vmem(
-                pallas_apg.pad_constants(self._fa))
+            if pallas_apg.fits_vmem(pallas_apg.pad_constants(self._fa)):
+                return True
+            # whole-solve working set exceeds VMEM: stream the tree
+            # through VMEM instead (measured 1.4-1.5x over the XLA path
+            # at the 1024-scenario ladder config)
+            try:
+                from rapidnet_tpu.ops import pallas_stream
+                pallas_stream.pack_stream_constants(self._fa)
+                self._use_stream = True
+            except ValueError:
+                pass
+            return False
         from rapidnet_tpu.ops import pallas_qn
         return pallas_qn.fits_vmem_qn(
             pallas_qn.pad_qn_constants(self._fa),
@@ -312,7 +342,7 @@ class SmpcController:
             out = self._solver(self._fa,
                                shard_step_arrays(step, self.mesh),
                                self._y_carry)
-        elif self._use_pallas:
+        elif self._use_pallas or self._use_stream:
             y0 = self._y_carry if self.warm_start else None
             out = self._solver(step, y0)
         else:

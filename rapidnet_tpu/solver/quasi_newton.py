@@ -402,8 +402,8 @@ def make_solver(*, algorithm: str, prefix_stages: tuple, inv_step: float,
 
     def finish(fa, carry, infeas, values, taus, iters):
         if project_control:
-            u0 = jnp.clip(carry["u"][0, 0], fa["umin"][0, 0],
-                          fa["umax"][0, 0])
+            lo, hi = ss.root_control_bounds(fa)
+            u0 = jnp.clip(carry["u"][0, 0], lo, hi)
         else:
             u0 = carry["u"][0, 0]
         return {

@@ -289,6 +289,25 @@ def prox_g(fa: dict, prim_xi, prim_psi, w_xi, w_psi, *, inv_step: float,
     return dual_xi, dual_psi, value_g
 
 
+def root_control_bounds(fa: dict):
+    """Bounds for the final control projection — PHYSICAL units.
+
+    Deliberate deviation from the reference: projectionBox at
+    src/SmpcController.cu:1649 clips the physical u0 onto bounds that
+    preconditionConstraintU has scaled in place by sqrt(p)*precnd
+    (src/Engine.cu:447-448) — invisible with the shipped near-identity
+    root-stage preconditioners, but with a tuned preconditioner whose
+    root g << 1 it clips every control to ~0 (and with g > 1 it admits
+    out-of-bounds controls; both observed on the real Barcelona
+    preconditioner and the auto-tuned dwn.mat problem).  Like the
+    reference's prevU copy-paste bug, we do not replicate it:
+    ``umin_phys``/``umax_phys`` carry the network's physical bounds.
+    """
+    if "umin_phys" in fa:
+        return fa["umin_phys"], fa["umax_phys"]
+    return fa["umin"][0, 0], fa["umax"][0, 0]
+
+
 def signed_max_abs(res_xi, res_psi, axis_name: str | None = None):
     """Primal infeasibility diagnostic.
 

@@ -75,11 +75,8 @@ def test_real_year_forecaster_closed_loop():
     from rapidnet_tpu.solver.controller import SmpcController
 
     net = load_dwn_network(DWN_MAT)
-    # hourly dynamics: B/Gd are per-second flows, states are volumes
-    net.matB = net.matB * 3600.0
-    net.matGd = net.matGd * 3600.0
-    net.umax = net.umax * 3600.0
-    net.umin = net.umin * 3600.0
+    # units: volumes m^3, controls/demands m^3/s; B/Gd already
+    # integrate the 3600 s control step (entries +/-3600)
     N = 12
     tree = generate_tree(N=N, branching=[2], nd=net.nd, nu=net.nu, seed=3)
     fc = load_dwn_forecaster(DWN_MAT, N=N, start=0, hours=N + 4)

@@ -213,3 +213,41 @@ def test_qn_vmem_gate():
     consts = pallas_qn.pad_qn_constants(fa)
     assert pallas_qn.fits_vmem_qn(consts, 5)
     assert not pallas_qn.fits_vmem_qn(consts, 5, budget=1024)
+
+
+@requires_reference
+@pytest.mark.parametrize("algorithm", [ALGORITHM_FBE, ALGORITHM_NAMA])
+def test_closed_loop_kpi_quality_vs_apg_anchor(algorithm):
+    """Closed-loop KPI quality bound: the Pallas-QN controller must
+    reach the APG-500 reference answer at least as closely as the
+    XLA-QN controller does (VERDICT r2 item 9 — a far tighter
+    converged-quality bound than the 10x residual-tail check: KPIs
+    integrate the APPLIED controls over 3 closed-loop steps).
+
+    Why not direct 1e-3 Pallas-vs-XLA KPI agreement: the backtracking
+    line search forks the two trajectories at f32 rounding (module
+    docstring), and on this config the quasi-Newton algorithms
+    THEMSELVES land 10-30% from the APG-500 optimum in closed-loop
+    KPIs (measured: FBE-XLA 23%/29%/12% economic/smooth/network,
+    FBE-Pallas 19%/23%/10%; similar for NAMA — the fused kernel is
+    consistently the CLOSER of the two).  So the honest bound is
+    relative: dev(Pallas) <= 1.5 x dev(XLA) + eps on every KPI."""
+    from rapidnet_tpu.model.config import ALGORITHM_APG, SmpcConfig
+    from rapidnet_tpu.solver.controller import SmpcController
+
+    def run(backend, algo, iters):
+        cfg = SmpcConfig.from_json(fixture_path("controllerConfig.json"))
+        cfg.algorithm = algo
+        cfg.max_iterations = iters
+        ctrl = SmpcController(cfg, backend=backend)
+        for t in range(3):
+            ctrl.control_action(t)
+            ctrl.move_forward_in_time()
+        return np.array([ctrl.economic_kpi(3), ctrl.smooth_kpi(3),
+                         ctrl.safety_kpi(3), ctrl.network_kpi(3)])
+
+    anchor = run("xla", ALGORITHM_APG, 500)
+    dev_xla = np.abs(run("xla", algorithm, 500) - anchor)
+    dev_pal = np.abs(run("pallas", algorithm, 500) - anchor)
+    eps = 1e-3 * np.maximum(np.abs(anchor), 1.0)
+    assert (dev_pal <= 1.5 * dev_xla + eps).all(), (dev_pal, dev_xla)
