@@ -78,6 +78,32 @@ def _build(nx, nu, nd, ne, N, branching, *, seed=42, tune=True,
     return cfg, eng, fa, make_step, tree
 
 
+def _build_real(max_iter=None):
+    """REAL Barcelona-scale problem from the reference's dataSource
+    (io/datasource.py): real matL/matLhat/costW/preconditioner/
+    penalties/step/initial state + the real 136-node scenario tree
+    with real uncertainty vectors; topology/bounds synthetic
+    (provenance: datasource.BARCELONA_PROVENANCE — the reference does
+    not ship its Barcelona network.json)."""
+    from rapidnet_tpu.engine.engine import Engine
+    from rapidnet_tpu.io.datasource import load_barcelona_problem
+    from rapidnet_tpu.solver.controller import _factor_arrays, _step_arrays
+
+    cfg, net, tree, fc = load_barcelona_problem(
+        max_iterations=max_iter or MAX_ITER)
+    eng = Engine(net, tree, cfg)
+    fc.predict_demand(0)
+    fc.predict_prices(0)
+    fa = _factor_arrays(eng)
+
+    def make_step(x0):
+        return _step_arrays(eng.prepare_step(
+            fc.nominal_demand, fc.nominal_prices, x0, cfg.prev_u,
+            cfg.prev_demand))
+
+    return cfg, eng, fa, make_step, tree
+
+
 def _solver_kw(cfg):
     from rapidnet_tpu.engine.engine import XS_UPPER
     return dict(inv_step=1.0 / cfg.step_size, step_size=cfg.step_size,
@@ -139,7 +165,8 @@ def _rand_x0(cfg, rng):
 
 
 def run_config(name, dims, N, branching, repeats, *, batch=None,
-               tune=True, dual_dtype=None, problem=None, backend=None):
+               tune=True, dual_dtype=None, problem=None, backend=None,
+               data="synthetic"):
     import jax.numpy as jnp
     rng = np.random.default_rng(7)
     if problem is None:
@@ -159,7 +186,7 @@ def run_config(name, dims, N, branching, repeats, *, batch=None,
         solves_s = 1e3 / ms
     rec = {"config": name, "nodes": int(tree.n_nodes),
            "scenarios": int(tree.ns), "N": int(N),
-           "iters": MAX_ITER, "path": path,
+           "iters": MAX_ITER, "path": path, "data": data,
            "batch": batch or 1, "p50_ms": round(ms, 3),
            "solves_per_s": round(solves_s, 3)}
     print(json.dumps(rec))
@@ -272,16 +299,16 @@ def device_scaling_table(iters: int = 50) -> dict:
     """Run the 1024-scenario sharded solve on 1..8 virtual CPU devices
     in fresh subprocesses (XLA_FLAGS must precede backend start).
 
-    Methodology (VERDICT round-2 item 6): every child pins XLA's CPU
-    backend to ONE compute thread per device
-    (--xla_cpu_multi_thread_eigen=false intra_op_parallelism_threads=1),
-    so an n-device run uses n OS threads on the host's physical cores.
-    With constant total work split n ways, device counts up to the core
-    count measure STRONG scaling (ideal ms = t1/n); device counts above
-    it are oversubscribed — they validate functionality and count
-    collectives but their timings support no scaling conclusion (they
-    are labelled `oversubscribed` and excluded from the efficiency
-    metric).  5 repeats per point, median + min reported.
+    Methodology (VERDICT round-2 item 6): an n-device child is pinned
+    to min(n, host_cores) physical cores with ``taskset`` (XLA's CPU
+    thread-count flags are ignored by the current thunk runtime —
+    verified: a large matmul times identically with and without them).
+    CPU resources therefore scale WITH the device count up to the core
+    count: those points measure STRONG scaling (ideal ms = t1/n);
+    device counts above the core count are oversubscribed — they
+    validate functionality and count collectives but their timings
+    support no scaling conclusion (labelled `oversubscribed`, excluded
+    from the efficiency metric).  5 repeats per point, median + min.
     """
     cores = os.cpu_count() or 1
     table = []
@@ -290,11 +317,11 @@ def device_scaling_table(iters: int = 50) -> dict:
             os.environ,
             JAX_PLATFORMS="cpu",
             XLA_FLAGS=(os.environ.get("XLA_FLAGS", "") +
-                       f" --xla_force_host_platform_device_count={n}"
-                       " --xla_cpu_multi_thread_eigen=false"
-                       " intra_op_parallelism_threads=1"))
+                       f" --xla_force_host_platform_device_count={n}"))
+        pin = ",".join(str(c) for c in range(min(n, cores)))
         cp = subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
+            ["taskset", "-c", pin,
+             sys.executable, os.path.abspath(__file__),
              "--device-scaling-child", str(n),
              "--max-iter", str(iters)],
             capture_output=True, text=True, timeout=1800, env=env,
@@ -307,11 +334,13 @@ def device_scaling_table(iters: int = 50) -> dict:
             continue
         table.append(json.loads(line[-1][len("CHILD:"):]))
         print(json.dumps(table[-1]))
-    out = {"host_cores": cores, "threads_per_device": 1,
-           "methodology": "strong scaling, 1 XLA compute thread per "
-                          "device; rows with n_devices > host_cores "
-                          "are oversubscribed (functional evidence "
-                          "only)",
+    out = {"host_cores": cores,
+           "methodology": "strong scaling; an n-device child is "
+                          "taskset-pinned to min(n, host_cores) cores, "
+                          "so CPU resources scale with device count up "
+                          "to the core count; rows with n_devices > "
+                          "host_cores are oversubscribed (functional "
+                          "evidence only)",
            "rows": table}
     timed = {r["n_devices"]: r for r in table
              if "p50_ms" in r and not r.get("oversubscribed")}
@@ -362,6 +391,20 @@ def main(argv=None):
     # 3: Barcelona-subset, ~100-node tree, H=24
     rows.append(run_config("3_barcelona_subset_100node_H24",
                            (20, 35, 25, 5), 24, [4], rep)[0])
+    # 3R: REAL Barcelona-scale data (controllerConfig32.json +
+    # scenarioTree32.json; real cost/preconditioner/penalties/tree,
+    # synthetic topology — see _build_real)
+    try:
+        from rapidnet_tpu.io import datasource
+        if datasource.available():
+            rows.append(run_config(
+                "3R_barcelona_REAL_136node_H24", None, 24, None, rep,
+                problem=_build_real(),
+                data="real tree/costs/precnd/state; "
+                     "synthetic topology")[0])
+    except Exception as exc:  # noqa: BLE001
+        rows.append({"config": "3R_barcelona_REAL_136node_H24",
+                     "error": str(exc)[:300]})
     # 4: Barcelona-scale, 556-node tree — single and batched
     r4, prob4 = run_config("4_barcelona_556node_H24",
                            (63, 114, 88, 17), 24, [5, 5], rep)

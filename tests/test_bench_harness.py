@@ -42,3 +42,10 @@ def test_bench_measure_smoke(monkeypatch):
     # src/SmpcController.cu:63-71)
     assert set(res["algo_solves_per_s"]) == {"apg", "fbe", "nama"}
     assert all(v > 0 for v in res["algo_solves_per_s"].values())
+    # time-to-solution diagnostics: per-algorithm budget wall ms always
+    # present; stabilisation fields may be null (documented negative
+    # result, docs/performance.md)
+    tts = res["time_to_solution"]
+    for algo in ("apg", "fbe", "nama"):
+        assert tts[algo]["cold_budget_ms"] > 0
+        assert "cold_iters" in tts[algo] and "warm_iters" in tts[algo]

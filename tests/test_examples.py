@@ -13,6 +13,9 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def _run(script, *argv, timeout=420):
     env = dict(os.environ)
+    # examples import rapidnet_tpu; make them independent of whether
+    # the editable install survived an environment reset
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
     cp = subprocess.run(
         [sys.executable, os.path.join(ROOT, "examples", script), *argv],
         capture_output=True, text=True, timeout=timeout, env=env, cwd=ROOT)
@@ -46,3 +49,17 @@ def test_batched_monte_carlo_example():
     out = _run("batched_monte_carlo.py", "--platform", "cpu",
                "--batch", "4", "--steps", "2", "--iterations", "40")
     assert "solves/s" in out and "OK" in out
+
+
+@pytest.mark.skipif(not os.path.isdir(
+    "/root/reference/src/paser/dataSource"),
+    reason="reference dataSource unavailable")
+def test_real_data_example():
+    out = _run("real_data_closed_loop.py", "--problem", "dwn",
+               "--steps", "2", "--iterations", "120",
+               "--platform", "cpu")
+    assert "economic kpi" in out
+    out = _run("real_data_closed_loop.py", "--problem", "barcelona",
+               "--steps", "1", "--iterations", "40",
+               "--platform", "cpu")
+    assert "network  kpi" in out
