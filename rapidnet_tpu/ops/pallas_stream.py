@@ -576,3 +576,387 @@ def make_apg_stream(fa: dict, *, inv_step: float, step_size: float,
         return run_impl(cd, step_in, y0t)
 
     return run
+
+
+def make_apg_stream_fused(fa: dict, *, inv_step: float, step_size: float,
+                          penalty_state: float, penalty_safety: float,
+                          xs_upper: float, max_iterations: int,
+                          project_control: bool = True,
+                          interpret: bool | str = "auto"):
+    """Fused streaming APG: ONE pallas_call per iteration.
+
+    The two-kernel version re-reads the duals in the forward kernel to
+    rebuild the extrapolated w; here one kernel runs a (2N,) grid —
+    the first N steps are the backward sweep (stages N-1..0, with the
+    previous iteration's dual update fused in), the last N the forward
+    sweep (stages 0..N-1) — and the extrapolated w and the candidate
+    controls v live ENTIRELY in VMEM scratch between the phases.  Per
+    iteration this removes one kernel dispatch + pipeline drain, the v
+    HBM round-trip and all phase-1 dual reads (~30% of the two-kernel
+    version's traffic).  Same numerics and output contract as
+    :func:`make_apg_stream`.
+    """
+    if interpret == "auto":
+        interpret = jax.devices()[0].platform == "cpu"
+    consts = pack_stream_constants(fa)
+    N, ns, nx, nu, nv, NSP, PX, PU, PV = consts["dims"]
+    Rmax = consts["Rmax"]
+    prefix_stages = consts["prefix_stages"]
+    n_pref = max(len(prefix_stages), 1)
+    c = float(inv_step)
+    step = float(step_size)
+    t1c = float(inv_step * penalty_state)
+    t2c = float(inv_step * penalty_safety)
+    xs_up = float(xs_upper)
+    f32 = jnp.float32
+    HIGH = lax.Precision.HIGHEST
+
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32,
+                                   precision=HIGH)
+
+    def kernel(sc, sq, nhp, cx1, cx2, cu, bxmin, bxmax, bxs,
+               bumin, bumax, rep, Bb, LT, iW, L, B, CpT, BpT,
+               x0, pdu, beta, uhat, e,
+               pre1, pre2, prep, y1, y2, yp, z1, z2, zp,
+               o_y1, o_y2, o_yp, o_z1, o_z2, o_zp,
+               o_x, o_u, o_pre1, o_pre2, o_prep,
+               o_inf, o_d1, o_d2,
+               w1f, w2f, wpf, vf, t_s, a_s, du_s, x_s, hilo, acc):
+        i = pl.program_id(0)
+        bwd = i < N
+        lam_prev, lam_i, upd, k1f, k2f = (sc[0, 0], sc[0, 1], sc[0, 2],
+                                          sc[0, 3], sc[0, 4])
+        sqv = sq[0]
+        d1 = cx1[0] * sqv
+        d2 = cx2[0] * sqv
+        g = cu[0] * sqv
+
+        # ------- phase 0: dual update + w + backward stage -------
+        @pl.when(bwd)
+        def _():
+            s = N - 1 - i
+
+            def upd_block(pre, w_prev, lo, hi, shrink):
+                diff = pre[0] - jnp.clip(pre[0], lo, hi)
+                return (1.0 - shrink) * diff - c * w_prev
+
+            w1p = y1[0] + lam_prev * z1[0]
+            w2p = y2[0] + lam_prev * z2[0]
+            wpp = yp[0] + lam_prev * zp[0]
+            r1 = upd_block(pre1, w1p, bxmin[0] * sqv, bxmax[0] * sqv,
+                           k1f)
+            r2 = upd_block(pre2, w2p, bxs[0] * sqv, xs_up, k2f)
+            rp = upd_block(prep, wpp, bumin[0] * sqv, bumax[0] * sqv,
+                           0.0)
+            y1n = y1[0] + upd * (lam_prev * z1[0] + step * r1)
+            y2n = y2[0] + upd * (lam_prev * z2[0] + step * r2)
+            ypn = yp[0] + upd * (lam_prev * zp[0] + step * rp)
+            z1n = y1n - y1[0]
+            z2n = y2n - y2[0]
+            zpn = ypn - yp[0]
+            o_y1[0] = y1n
+            o_y2[0] = y2n
+            o_yp[0] = ypn
+            o_z1[0] = z1n
+            o_z2[0] = z2n
+            o_zp[0] = zpn
+
+            @pl.when(i == 0)
+            def _():
+                hilo[0] = f32(-jnp.inf)
+                hilo[1] = f32(jnp.inf)
+                hilo[2] = f32(-jnp.inf)
+                hilo[3] = f32(jnp.inf)
+
+            hilo[0] = jnp.maximum(hilo[0],
+                                  jnp.maximum(jnp.max(r1), jnp.max(r2)))
+            hilo[1] = jnp.minimum(hilo[1],
+                                  jnp.minimum(jnp.min(r1), jnp.min(r2)))
+            hilo[2] = jnp.maximum(hilo[2], jnp.max(rp))
+            hilo[3] = jnp.minimum(hilo[3], jnp.min(rp))
+
+            @pl.when(i == N - 1)
+            def _():
+                vx = jnp.where(hilo[0] > -hilo[1], hilo[0], hilo[1])
+                vp = jnp.where(hilo[2] > -hilo[3], hilo[2], hilo[3])
+                o_inf[0, 0] = jnp.maximum(vx, vp)
+
+            w1 = y1n + lam_i * z1n
+            w2 = y2n + lam_i * z2n
+            wp = ypn + lam_i * zpn
+            w1f[pl.ds(s * PX, PX)] = w1
+            w2f[pl.ds(s * PX, PX)] = w2
+            wpf[pl.ds(s * PU, PU)] = wp
+
+            @pl.when(i == 0)
+            def _():
+                t_s[...] = jnp.zeros((PX, NSP), f32)
+                a_s[...] = jnp.zeros((PV, NSP), f32)
+
+            t_new = d1 * w1 + d2 * w2 + t_s[...]
+            inner = (beta[0] + a_s[...] + dot(Bb[...], t_new) +
+                     dot(LT[...], g * wp))
+            vf[pl.ds(s * PV, PV)] = nhp[0] * dot(iW[...], inner)
+
+            q, r = t_new, inner
+            for k, ps in enumerate(prefix_stages):
+                if ps > 0:
+                    is_s = s == ps
+
+                    @pl.when(is_s)
+                    def _(k=k, q=q, r=r):
+                        qp = dot(q, CpT[k])
+                        rp_ = dot(r, CpT[k])
+                        t_s[...] = dot(qp, BpT[k])
+                        a_s[...] = dot(rp_, BpT[k])
+
+                    @pl.when(jnp.logical_not(is_s))
+                    def _(q=q, r=r):
+                        t_s[...] = q
+                        a_s[...] = r
+                    q, r = t_s[...], a_s[...]
+            if not prefix_stages:
+                t_s[...] = q
+                a_s[...] = r
+
+        # ------- phase 1: forward + primal + prox pre-images -------
+        @pl.when(jnp.logical_not(bwd))
+        def _():
+            s = i - N
+
+            @pl.when(i == N)
+            def _():
+                du_s[...] = jnp.broadcast_to(pdu[...], (PU, NSP))
+                x_s[...] = jnp.broadcast_to(x0[...], (PX, NSP))
+                acc[0] = f32(0.0)
+                acc[1] = f32(0.0)
+
+            v = vf[pl.ds(s * PV, PV)]
+            du = du_s[...] + dot(L[...], v)
+            u = uhat[0] + du
+            x = x_s[...] + e[0] + dot(B[...], u)
+            du_s[...] = du
+            x_s[...] = x
+            o_x[0] = x
+            o_u[0] = u
+
+            w1 = w1f[pl.ds(s * PX, PX)]
+            w2 = w2f[pl.ds(s * PX, PX)]
+            wp = wpf[pl.ds(s * PU, PU)]
+            p1 = d1 * x + c * w1
+            p2 = d2 * x + c * w2
+            pp = g * u + c * wp
+            o_pre1[0] = p1
+            o_pre2[0] = p2
+            o_prep[0] = pp
+
+            rv = rep[0]
+            df1 = p1 - jnp.clip(p1, bxmin[0] * sqv, bxmax[0] * sqv)
+            df2 = p2 - jnp.clip(p2, bxs[0] * sqv, xs_up)
+            acc[0] = acc[0] + jnp.sum(rv * df1 * df1)
+            acc[1] = acc[1] + jnp.sum(rv * df2 * df2)
+
+            @pl.when(i == 2 * N - 1)
+            def _():
+                o_d1[0, 0] = acc[0]
+                o_d2[0, 0] = acc[1]
+
+    # ---- index maps: phase-aware stage selection / parking ----
+    def both(i):
+        return (jnp.where(i < N, N - 1 - i, i - N), 0, 0)
+
+    def bwd_only(i):
+        return (jnp.where(i < N, N - 1 - i, 0), 0, 0)
+
+    def fwd_only(i):
+        return (jnp.where(i < N, 0, i - N), 0, 0)
+
+    def blk(P, index_map):
+        return pl.BlockSpec((1, P, NSP), index_map,
+                            memory_space=pltpu.VMEM)
+
+    def colb(P, index_map):
+        return pl.BlockSpec((1, P, 1), index_map,
+                            memory_space=pltpu.VMEM)
+
+    def fullb(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    smem_sc = pl.BlockSpec((1, 8), lambda i: (0, 0),
+                           memory_space=pltpu.SMEM)
+    smem_out = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    dslab = jax.ShapeDtypeStruct((N, PX, NSP), f32)
+    uslab = jax.ShapeDtypeStruct((N, PU, NSP), f32)
+    scal = jax.ShapeDtypeStruct((1, 1), f32)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(2 * N,),
+        in_specs=[smem_sc,
+                  blk(1, both), blk(1, bwd_only),            # sq nhp
+                  colb(PX, both), colb(PX, both), colb(PU, both),
+                  colb(PX, both), colb(PX, both), colb(PX, both),
+                  colb(PU, both), colb(PU, both),            # bu*
+                  blk(1, fwd_only),                          # rep
+                  fullb((PV, PX)), fullb((PV, PU)),          # Bb LT
+                  fullb((PV, PV)),                           # iW
+                  fullb((PU, PV)), fullb((PX, PU)),          # L B
+                  fullb((n_pref, NSP, Rmax)),                # CpT
+                  fullb((n_pref, Rmax, NSP)),                # BpT
+                  fullb((PX, 1)), fullb((PU, 1)),            # x0 pdu
+                  blk(PV, bwd_only),                         # beta
+                  blk(PU, fwd_only), blk(PX, fwd_only),      # uhat e
+                  blk(PX, bwd_only), blk(PX, bwd_only),
+                  blk(PU, bwd_only),                         # pre*
+                  blk(PX, bwd_only), blk(PX, bwd_only),
+                  blk(PU, bwd_only),                         # y
+                  blk(PX, bwd_only), blk(PX, bwd_only),
+                  blk(PU, bwd_only)],                        # z
+        out_specs=(blk(PX, bwd_only), blk(PX, bwd_only),
+                   blk(PU, bwd_only),                        # y'
+                   blk(PX, bwd_only), blk(PX, bwd_only),
+                   blk(PU, bwd_only),                        # z'
+                   blk(PX, fwd_only), blk(PU, fwd_only),     # x u
+                   blk(PX, fwd_only), blk(PX, fwd_only),
+                   blk(PU, fwd_only),                        # pre'
+                   smem_out, smem_out, smem_out),            # inf d1 d2
+        out_shape=(dslab, dslab, uslab, dslab, dslab, uslab,
+                   dslab, uslab, dslab, dslab, uslab,
+                   scal, scal, scal),
+        scratch_shapes=[pltpu.VMEM((N * PX, NSP), f32),      # w1f
+                        pltpu.VMEM((N * PX, NSP), f32),      # w2f
+                        pltpu.VMEM((N * PU, NSP), f32),      # wpf
+                        pltpu.VMEM((N * PV, NSP), f32),      # vf
+                        pltpu.VMEM((PX, NSP), f32),          # t_s
+                        pltpu.VMEM((PV, NSP), f32),          # a_s
+                        pltpu.VMEM((PU, NSP), f32),          # du_s
+                        pltpu.VMEM((PX, NSP), f32),          # x_s
+                        pltpu.SMEM((4,), f32),               # hilo
+                        pltpu.SMEM((2,), f32)],              # acc
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )
+
+    cd = {k: jnp.asarray(consts[k]) for k in
+          ("sq", "nhp", "rep", "cx1", "cx2", "cu", "bx_min", "bx_max",
+           "bx_s", "bu_min", "bu_max", "Bb", "LT", "iW", "L", "B",
+           "CpT", "BpT")}
+    th = np.ones(max_iterations + 1, np.float64)
+    for i in range(max_iterations):
+        th[i + 1] = 0.5 * (np.sqrt(th[i] ** 4 + 4 * th[i] ** 2)
+                           - th[i] ** 2)
+    lam_seq = np.float32(
+        [0.0] + [th[i] * (1.0 / th[i - 1] - 1.0)
+                 for i in range(1, max_iterations + 1)])
+    if "umin_phys" in fa:
+        umin00 = jnp.asarray(np.asarray(fa["umin_phys"]))
+        umax00 = jnp.asarray(np.asarray(fa["umax_phys"]))
+    else:
+        umin00 = jnp.asarray(np.asarray(fa["umin"])[0, 0])
+        umax00 = jnp.asarray(np.asarray(fa["umax"])[0, 0])
+
+    @jax.jit
+    def run_impl(cd, step_in, y0):
+        sp = pack_stream_step(step_in, consts["dims"])
+        zeros_x = jnp.zeros((N, PX, NSP), f32)
+        zeros_u = jnp.zeros((N, PU, NSP), f32)
+        state = {
+            "y1": y0["y1"], "y2": y0["y2"], "yp": y0["yp"],
+            "z1": zeros_x, "z2": zeros_x, "zp": zeros_u,
+            "pre1": zeros_x, "pre2": zeros_x, "prep": zeros_u,
+            "k1": f32(0.0), "k2": f32(0.0),
+            "x": zeros_x, "u": zeros_u,
+        }
+        lam = jnp.asarray(lam_seq)
+
+        def body(st, it):
+            lam_prev = lam[jnp.maximum(it - 1, 0)]
+            lam_i = lam[it]
+            upd = jnp.where(it > 0, 1.0, 0.0).astype(f32)
+            sc = jnp.stack([lam_prev, lam_i, upd, st["k1"], st["k2"],
+                            0.0, 0.0, 0.0]).reshape(1, 8)
+            (y1n, y2n, ypn, z1n, z2n, zpn, x, u, pre1, pre2, prep,
+             inf, d1sq, d2sq) = call(
+                sc, cd["sq"], cd["nhp"], cd["cx1"], cd["cx2"],
+                cd["cu"], cd["bx_min"], cd["bx_max"], cd["bx_s"],
+                cd["bu_min"], cd["bu_max"], cd["rep"], cd["Bb"],
+                cd["LT"], cd["iW"], cd["L"], cd["B"], cd["CpT"],
+                cd["BpT"], sp["x0"], sp["pdu"], sp["beta"],
+                sp["uhat"], sp["e"],
+                st["pre1"], st["pre2"], st["prep"],
+                st["y1"], st["y2"], st["yp"],
+                st["z1"], st["z2"], st["zp"])
+            dist1 = jnp.sqrt(d1sq[0, 0])
+            dist2 = jnp.sqrt(d2sq[0, 0])
+            k1f = jnp.where(dist1 > t1c,
+                            1.0 - t1c / jnp.maximum(dist1, 1e-30), 0.0)
+            k2f = jnp.where(dist2 > t2c,
+                            1.0 - t2c / jnp.maximum(dist2, 1e-30), 0.0)
+            new = {"y1": y1n, "y2": y2n, "yp": ypn,
+                   "z1": z1n, "z2": z2n, "zp": zpn,
+                   "pre1": pre1, "pre2": pre2, "prep": prep,
+                   "k1": k1f, "k2": k2f, "x": x, "u": u}
+            return new, inf[0, 0]
+
+        st, infs = lax.scan(body, state, jnp.arange(max_iterations),
+                            unroll=1)
+        x, u = st["x"], st["u"]
+
+        lam_last = lam[max_iterations - 1]
+        sqv = cd["sq"]
+
+        def tail_block(pre, y, z, lo, hi, shrink):
+            w = y + lam_last * z
+            diff = pre - jnp.clip(pre, lo, hi)
+            res = (1.0 - shrink) * diff - c * w
+            return w + step * res, res
+
+        y1f, r1 = tail_block(st["pre1"], st["y1"], st["z1"],
+                             cd["bx_min"] * sqv, cd["bx_max"] * sqv,
+                             st["k1"])
+        y2f, r2 = tail_block(st["pre2"], st["y2"], st["z2"],
+                             cd["bx_s"] * sqv, xs_up, st["k2"])
+        ypf, rp = tail_block(st["prep"], st["yp"], st["zp"],
+                             cd["bu_min"] * sqv, cd["bu_max"] * sqv,
+                             0.0)
+
+        def champ(*rs):
+            hi = jnp.max(jnp.stack([jnp.max(r) for r in rs]))
+            lo = jnp.min(jnp.stack([jnp.min(r) for r in rs]))
+            return jnp.where(hi > -lo, hi, lo)
+
+        inf_last = jnp.maximum(champ(r1, r2), champ(rp))
+        infs = jnp.concatenate([infs[1:], inf_last[None]])
+
+        xi = jnp.concatenate([_from_t(y1f, ns, nx),
+                              _from_t(y2f, ns, nx)], axis=-1)
+        psi = _from_t(ypf, ns, nu)
+        u0 = u[0, :nu, 0]
+        if project_control:
+            u0 = jnp.clip(u0, umin00, umax00)
+        return {
+            "control": u0,
+            "x": _from_t(x, ns, nx), "u": _from_t(u, ns, nu),
+            "y": {"xi": xi, "psi": psi},
+            "primal_infeasibility": infs,
+            "iterations": jnp.int32(max_iterations),
+        }
+
+    def run(step_in, y0=None):
+        if y0 is None:
+            y0t = {"y1": jnp.zeros((N, PX, NSP), f32),
+                   "y2": jnp.zeros((N, PX, NSP), f32),
+                   "yp": jnp.zeros((N, PU, NSP), f32)}
+        else:
+            xi = jnp.asarray(y0["xi"], f32)
+            y0t = {"y1": _to_t(xi[..., :nx], NSP, PX),
+                   "y2": _to_t(xi[..., nx:], NSP, PX),
+                   "yp": _to_t(jnp.asarray(y0["psi"], f32), NSP, PU)}
+        return run_impl(cd, step_in, y0t)
+
+    return run
