@@ -268,8 +268,13 @@ def regression_check(result: dict) -> None:
     (the r01->r02 single-solve slip 31.9->34.2 ms went unremarked —
     VERDICT round 2).  Informational: prints to stderr, never fails."""
     here = os.path.dirname(os.path.abspath(__file__))
-    prev_files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
-                        key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+    def round_no(p):
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else None
+
+    prev_files = sorted(
+        (p for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+         if round_no(p) is not None), key=round_no)
     if not prev_files:
         return
     try:

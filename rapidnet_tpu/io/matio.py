@@ -137,7 +137,9 @@ def read_mat(path) -> dict:
     """
     with open(path, "rb") as f:
         data = f.read()
-    if len(data) < 128 or data[:4] in (b"\x00\x01\x00\x00", b"MATL"[:0]):
+    if data[:4] == b"\x00\x01\x00\x00":
+        raise ValueError("MAT-v4 files are not supported (MAT-v5 only)")
+    if len(data) < 128:
         raise ValueError("file too short for a MAT-v5 header")
     magic = data[126:128]
     if magic == b"IM":

@@ -252,21 +252,18 @@ class ScenarioTree:
 
     def scatter_from_fan(self, fan_values: np.ndarray) -> np.ndarray:
         """(N, ns, ...) -> (n_nodes, ...) taking representative slots."""
-        out_shape = (self.n_nodes,) + tuple(np.shape(fan_values)[2:])
-        out = np.zeros(out_shape, np.asarray(fan_values).dtype)
         fan = np.asarray(fan_values)
-        for s in range(self.N):
-            for i in range(self.ns):
-                if self.rep[s, i] > 0:
-                    out[self.node_of_slot[s, i]] = fan[s, i]
+        out_shape = (self.n_nodes,) + tuple(fan.shape[2:])
+        out = np.zeros(out_shape, fan.dtype)
+        s_idx, i_idx = np.nonzero(self.rep > 0)
+        out[self.node_of_slot[s_idx, i_idx]] = fan[s_idx, i_idx]
         return out
 
     def first_slot_of_node(self) -> np.ndarray:
         """(n_nodes,) index of the representative slot of each node."""
         first = np.zeros(self.n_nodes, np.int32)
-        for s in range(self.N):
-            reps = np.flatnonzero(self.rep[s] > 0)
-            first[self.node_of_slot[s, reps]] = reps
+        s_idx, i_idx = np.nonzero(self.rep > 0)
+        first[self.node_of_slot[s_idx, i_idx]] = i_idx
         return first
 
     @property

@@ -93,13 +93,21 @@ def pack_stream_constants(fa: dict) -> dict:
         bx_s = np.asarray(fa["xs"])[:, 0, :] / sq[:, :1]
         bu_min = np.asarray(fa["umin"])[:, 0, :] / sq[:, :1]
         bu_max = np.asarray(fa["umax"])[:, 0, :] / sq[:, :1]
-    # exact rank-1 check: the streaming path reconstructs d1[s, i] as
-    # cx1[s] * sq[s, i]; verify (guards against non-factorable inputs)
-    rec = cx1[:, None, :] * sq[:, :, None]
-    if not np.allclose(rec, np.asarray(fa["d1"]), rtol=1e-5, atol=1e-6):
-        raise ValueError("d1 is not sqrt(prob) x per-stage row — "
-                         "streaming kernel requires the standard "
-                         "preconditioner structure (engine/engine.py)")
+    # exact rank-1 check: the streaming path reconstructs every diagonal
+    # and bound slab as (per-stage row) x sqrt(node prob); verify ALL of
+    # them (a factor dict where only d1 is factorable — e.g. hand-built
+    # per-node bounds — must fall back to the XLA path, not silently
+    # produce wrong solves)
+    for name, row in (("d1", cx1), ("d2", cx2), ("g", cu),
+                      ("xmin", bx_min), ("xmax", bx_max), ("xs", bx_s),
+                      ("umin", bu_min), ("umax", bu_max)):
+        rec = row[:, None, :] * sq[:, :, None]
+        if not np.allclose(rec, np.asarray(fa[name]), rtol=1e-5,
+                           atol=1e-6):
+            raise ValueError(
+                f"{name} is not sqrt(prob) x per-stage row — the "
+                "streaming kernel requires the standard preconditioner "
+                "structure (engine/engine.py)")
 
     def col(a, P):
         return _padr(np.asarray(a, np.float32)[:, :, None], P)
@@ -149,6 +157,37 @@ def pack_stream_constants(fa: dict) -> dict:
         out["CpT"] = np.zeros((1, NSP, LANE), np.float32)
         out["BpT"] = np.zeros((1, LANE, NSP), np.float32)
     return out
+
+
+STREAM_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def vmem_bytes_stream(consts: dict) -> int:
+    """Upper estimate of the streaming kernels' VMEM working set.
+
+    Counts the double-buffered per-stage (P, NSP) blocks of the larger
+    kernel (K1), the full-resident shared matrices and aggregation
+    operators, and the stage scratch.  Used by the controller's auto
+    backend selection so trees whose per-stage blocks exceed the VMEM
+    budget keep the XLA path instead of failing at Mosaic compile time
+    (the per-stage working set scales with ns)."""
+    N, ns, nx, nu, nv, NSP, PX, PU, PV = consts["dims"]
+    Rmax = consts["Rmax"]
+    n_pref = max(len(consts["prefix_stages"]), 1)
+    dual_rows = 2 * PX + PU                 # one dual/pre/residual group
+    # K1 per-stage rows: sq+nhp, beta, pre/y/z in, y'/z' out, v out
+    k1_rows = 2 + 2 * PV + 5 * dual_rows
+    blocks = 2 * k1_rows * NSP * 4          # x2: pipeline double-buffer
+    full = (4 * (PV * (PX + PU + PV) + PU * PV + PX * PU)
+            + 2 * n_pref * NSP * Rmax * 4   # CpT + BpT
+            + 12 * max(PX, PU) * 4)         # rank-1 columns
+    scratch = (PX + PV) * NSP * 4
+    return blocks + full + scratch
+
+
+def fits_vmem_stream(consts: dict,
+                     budget: int = STREAM_VMEM_LIMIT) -> bool:
+    return vmem_bytes_stream(consts) <= budget
 
 
 def _to_t(a, NSP, P):
@@ -621,7 +660,7 @@ def make_apg_stream_fused(fa: dict, *, inv_step: float, step_size: float,
                x0, pdu, beta, uhat, e,
                pre1, pre2, prep, y1, y2, yp, z1, z2, zp,
                o_y1, o_y2, o_yp, o_z1, o_z2, o_zp,
-               o_x, o_u, o_pre1, o_pre2, o_prep,
+               o_x, o_u, o_pre1, o_pre2, o_prep, o_v,
                o_inf, o_d1, o_d2,
                w1f, w2f, wpf, vf, t_s, a_s, du_s, x_s, hilo, acc):
         i = pl.program_id(0)
@@ -698,7 +737,9 @@ def make_apg_stream_fused(fa: dict, *, inv_step: float, step_size: float,
             t_new = d1 * w1 + d2 * w2 + t_s[...]
             inner = (beta[0] + a_s[...] + dot(Bb[...], t_new) +
                      dot(LT[...], g * wp))
-            vf[pl.ds(s * PV, PV)] = nhp[0] * dot(iW[...], inner)
+            v_s = nhp[0] * dot(iW[...], inner)
+            vf[pl.ds(s * PV, PV)] = v_s
+            o_v[0] = v_s
 
             q, r = t_new, inner
             for k, ps in enumerate(prefix_stages):
@@ -823,9 +864,11 @@ def make_apg_stream_fused(fa: dict, *, inv_step: float, step_size: float,
                    blk(PX, fwd_only), blk(PU, fwd_only),     # x u
                    blk(PX, fwd_only), blk(PX, fwd_only),
                    blk(PU, fwd_only),                        # pre'
+                   blk(PV, bwd_only),                        # v
                    smem_out, smem_out, smem_out),            # inf d1 d2
         out_shape=(dslab, dslab, uslab, dslab, dslab, uslab,
                    dslab, uslab, dslab, dslab, uslab,
+                   jax.ShapeDtypeStruct((N, PV, NSP), f32),
                    scal, scal, scal),
         scratch_shapes=[pltpu.VMEM((N * PX, NSP), f32),      # w1f
                         pltpu.VMEM((N * PX, NSP), f32),      # w2f
@@ -871,6 +914,7 @@ def make_apg_stream_fused(fa: dict, *, inv_step: float, step_size: float,
             "pre1": zeros_x, "pre2": zeros_x, "prep": zeros_u,
             "k1": f32(0.0), "k2": f32(0.0),
             "x": zeros_x, "u": zeros_u,
+            "v": jnp.zeros((N, PV, NSP), f32),
         }
         lam = jnp.asarray(lam_seq)
 
@@ -881,7 +925,7 @@ def make_apg_stream_fused(fa: dict, *, inv_step: float, step_size: float,
             sc = jnp.stack([lam_prev, lam_i, upd, st["k1"], st["k2"],
                             0.0, 0.0, 0.0]).reshape(1, 8)
             (y1n, y2n, ypn, z1n, z2n, zpn, x, u, pre1, pre2, prep,
-             inf, d1sq, d2sq) = call(
+             v, inf, d1sq, d2sq) = call(
                 sc, cd["sq"], cd["nhp"], cd["cx1"], cd["cx2"],
                 cd["cu"], cd["bx_min"], cd["bx_max"], cd["bx_s"],
                 cd["bu_min"], cd["bu_max"], cd["rep"], cd["Bb"],
@@ -900,7 +944,7 @@ def make_apg_stream_fused(fa: dict, *, inv_step: float, step_size: float,
             new = {"y1": y1n, "y2": y2n, "yp": ypn,
                    "z1": z1n, "z2": z2n, "zp": zpn,
                    "pre1": pre1, "pre2": pre2, "prep": prep,
-                   "k1": k1f, "k2": k2f, "x": x, "u": u}
+                   "k1": k1f, "k2": k2f, "x": x, "u": u, "v": v}
             return new, inf[0, 0]
 
         st, infs = lax.scan(body, state, jnp.arange(max_iterations),
@@ -942,6 +986,7 @@ def make_apg_stream_fused(fa: dict, *, inv_step: float, step_size: float,
         return {
             "control": u0,
             "x": _from_t(x, ns, nx), "u": _from_t(u, ns, nu),
+            "v": _from_t(st["v"], ns, nv),
             "y": {"xi": xi, "psi": psi},
             "primal_infeasibility": infs,
             "iterations": jnp.int32(max_iterations),

@@ -254,11 +254,15 @@ class SmpcController:
                 return True
             # whole-solve working set exceeds VMEM: stream the tree
             # through VMEM instead (measured 1.4-1.5x over the XLA path
-            # at the 1024-scenario ladder config)
+            # at the 1024-scenario ladder config) — but only when the
+            # streaming kernel's own per-stage blocks fit its VMEM
+            # budget (they scale with ns; a much larger tree must keep
+            # the XLA path rather than fail at Mosaic compile time)
             try:
                 from rapidnet_tpu.ops import pallas_stream
-                pallas_stream.pack_stream_constants(self._fa)
-                self._use_stream = True
+                sc = pallas_stream.pack_stream_constants(self._fa)
+                if pallas_stream.fits_vmem_stream(sc):
+                    self._use_stream = True
             except ValueError:
                 pass
             return False

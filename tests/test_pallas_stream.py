@@ -177,3 +177,95 @@ def test_controller_stream_backend_closed_loop():
         np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-3)
         ref.move_forward_in_time()
         got.move_forward_in_time()
+
+
+@requires_reference
+def test_stream_fused_matches_xla_on_reference_problem():
+    """The single-pallas_call (2N-grid) fused variant: same numerics
+    and output contract (incl. 'v') as make_apg_stream / the XLA path."""
+    import jax
+
+    from rapidnet_tpu.ops import pallas_stream
+    from rapidnet_tpu.solver import apg as apg_mod
+
+    cfg, eng, fa, step = _build_reference_problem()
+    kw = _kw(cfg)
+    ref = jax.jit(apg_mod.make_apg(
+        prefix_stages=eng.factor_step().prefix_stages, **kw))(fa, step)
+    out = pallas_stream.make_apg_stream_fused(fa, **kw)(step)
+
+    for k in ("control", "u", "v", "x"):
+        a, b = np.asarray(ref[k]), np.asarray(out[k])
+        assert np.abs(a - b).max() < 1e-5 * max(np.abs(a).max(), 1.0), k
+    for blk in ("xi", "psi"):
+        a = np.asarray(ref["y"][blk])
+        b = np.asarray(out["y"][blk])
+        assert np.abs(a - b).max() < 1e-4 * max(np.abs(a).max(), 1.0)
+    a = np.asarray(ref["primal_infeasibility"])
+    b = np.asarray(out["primal_infeasibility"])
+    assert np.abs(a).max() > 1.0
+    np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-3)
+
+
+def test_stream_fused_prefix_aggregation_branchy_tree():
+    """Fused variant through a 3-stage branching prefix (the in-kernel
+    factored Cp/Bp handoffs run inside the backward phase)."""
+    import jax
+
+    from rapidnet_tpu.engine.engine import Engine
+    from rapidnet_tpu.model.config import synthetic_config
+    from rapidnet_tpu.model.forecaster import synthetic_forecaster
+    from rapidnet_tpu.model.network import synthetic_network
+    from rapidnet_tpu.model.scenario_tree import generate_tree
+    from rapidnet_tpu.ops import pallas_stream
+    from rapidnet_tpu.solver import apg as apg_mod
+    from rapidnet_tpu.solver.controller import (_factor_arrays,
+                                                _step_arrays)
+
+    net = synthetic_network(nx=4, nu=7, nd=3, ne=2, seed=11)
+    tree = generate_tree(N=8, branching=[3, 2, 2], nd=3, nu=7, seed=11)
+    fc = synthetic_forecaster(N=8, nd=3, nu=7, sim_horizon=4, seed=11)
+    cfg = synthetic_config(net, tree, max_iterations=40, step_size=1e-3)
+    cfg.current_x = (0.98 * net.xmax).astype(np.float32)
+    eng = Engine(net, tree, cfg)
+    fc.predict_demand(0)
+    fc.predict_prices(0)
+    fa = _factor_arrays(eng)
+    step = _step_arrays(eng.prepare_step(
+        fc.nominal_demand, fc.nominal_prices, cfg.current_x,
+        cfg.prev_u, cfg.prev_demand))
+    kw = _kw(cfg, iters=40)
+    ref = jax.jit(apg_mod.make_apg(
+        prefix_stages=eng.factor_step().prefix_stages, **kw))(fa, step)
+    out = pallas_stream.make_apg_stream_fused(fa, **kw)(step)
+    for k in ("control", "u", "x", "v"):
+        a, b = np.asarray(ref[k]), np.asarray(out[k])
+        assert np.abs(a - b).max() < 1e-5 * max(np.abs(a).max(), 1.0), k
+
+
+def test_stream_vmem_estimate_scales_and_gates():
+    """fits_vmem_stream: the bench-scale tree fits; an 8x-wider
+    scenario axis does not (the controller must keep the XLA path)."""
+    from rapidnet_tpu.engine.engine import Engine
+    from rapidnet_tpu.model.config import synthetic_config
+    from rapidnet_tpu.model.forecaster import synthetic_forecaster
+    from rapidnet_tpu.model.network import synthetic_network
+    from rapidnet_tpu.model.scenario_tree import generate_tree
+    from rapidnet_tpu.ops import pallas_stream
+    from rapidnet_tpu.solver.controller import _factor_arrays
+
+    net = synthetic_network(nx=4, nu=7, nd=3, ne=2, seed=3)
+    tree = generate_tree(N=6, branching=[2, 2], nd=3, nu=7, seed=3)
+    cfg = synthetic_config(net, tree, max_iterations=5)
+    eng = Engine(net, tree, cfg)
+    consts = pallas_stream.pack_stream_constants(_factor_arrays(eng))
+    assert pallas_stream.fits_vmem_stream(consts)
+    bytes_small = pallas_stream.vmem_bytes_stream(consts)
+    # widen the scenario axis 64x by hand: the estimate must scale
+    # ~linearly in NSP and cross the budget for a small enough budget
+    N, ns, nx, nu, nv, NSP, PX, PU, PV = consts["dims"]
+    wide = dict(consts, dims=(N, ns * 64, nx, nu, nv, NSP * 64,
+                              PX, PU, PV))
+    assert pallas_stream.vmem_bytes_stream(wide) > 32 * bytes_small
+    assert not pallas_stream.fits_vmem_stream(
+        wide, budget=40 * bytes_small)
