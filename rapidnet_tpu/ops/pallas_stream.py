@@ -222,12 +222,19 @@ def make_apg_stream(fa: dict, *, inv_step: float, step_size: float,
                     penalty_state: float, penalty_safety: float,
                     xs_upper: float, max_iterations: int,
                     project_control: bool = True,
-                    interpret: bool | str = "auto"):
+                    interpret: bool | str = "auto",
+                    precision: str | lax.Precision =
+                        lax.Precision.HIGHEST):
     """Streaming-kernel APG solve: run(step, y0=None) -> solver outputs.
 
     Same output contract as solver/apg.make_apg (control, x, u, v, y,
     primal_infeasibility, iterations).  Fixed iteration budget only —
     use the XLA path for tolerance-based early exit.
+
+    ``precision``: MXU pass count for the in-kernel matmuls.  HIGHEST
+    (default, bf16x6) matches the XLA path bit-for-bit in the golden
+    tests; HIGH (bf16x3) is the measured-parity relaxation candidate
+    (see docs/roofline.md).
     """
     if interpret == "auto":
         interpret = jax.devices()[0].platform == "cpu"
@@ -242,12 +249,12 @@ def make_apg_stream(fa: dict, *, inv_step: float, step_size: float,
     t2c = float(inv_step * penalty_safety)
     xs_up = float(xs_upper)
     f32 = jnp.float32
-    HIGH = lax.Precision.HIGHEST
+    PREC = precision
 
     def dot(a, b):
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                    preferred_element_type=f32,
-                                   precision=HIGH)
+                                   precision=PREC)
 
     # ---------------- K1: fused dual-update + backward sweep ----------
     # grid i = 0..N-1 visits stage s = N-1-i
@@ -621,7 +628,9 @@ def make_apg_stream_fused(fa: dict, *, inv_step: float, step_size: float,
                           penalty_state: float, penalty_safety: float,
                           xs_upper: float, max_iterations: int,
                           project_control: bool = True,
-                          interpret: bool | str = "auto"):
+                          interpret: bool | str = "auto",
+                          precision: str | lax.Precision =
+                              lax.Precision.HIGHEST):
     """Fused streaming APG: ONE pallas_call per iteration.
 
     The two-kernel version re-reads the duals in the forward kernel to
@@ -648,12 +657,12 @@ def make_apg_stream_fused(fa: dict, *, inv_step: float, step_size: float,
     t2c = float(inv_step * penalty_safety)
     xs_up = float(xs_upper)
     f32 = jnp.float32
-    HIGH = lax.Precision.HIGHEST
+    PREC = precision
 
     def dot(a, b):
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                    preferred_element_type=f32,
-                                   precision=HIGH)
+                                   precision=PREC)
 
     def kernel(sc, sq, nhp, cx1, cx2, cu, bxmin, bxmax, bxs,
                bumin, bumax, rep, Bb, LT, iW, L, B, CpT, BpT,

@@ -158,10 +158,17 @@ class SmpcController:
                         xs_upper=float(XS_UPPER),
                         max_iterations=int(cfg.max_iterations))
             if self._use_stream:
-                # large-tree streaming kernel (working set > VMEM)
-                from rapidnet_tpu.ops import pallas_stream
-                self._solver = pallas_stream.make_apg_stream(
-                    self._fa, **p_kw)
+                # large-tree streaming kernels (working set > VMEM)
+                if cfg.algorithm == ALGORITHM_APG:
+                    from rapidnet_tpu.ops import pallas_stream
+                    self._solver = pallas_stream.make_apg_stream(
+                        self._fa, **p_kw)
+                else:
+                    from rapidnet_tpu.solver import qn_stream
+                    self._solver = qn_stream.make_qn_stream(
+                        self._fa, algorithm=cfg.algorithm,
+                        lbfgs_buffer_size=int(cfg.lbfgs_buffer_size),
+                        **p_kw)
             elif cfg.algorithm == ALGORITHM_APG:
                 from rapidnet_tpu.ops import pallas_apg
                 self._solver = pallas_apg.make_apg_pallas(self._fa, **p_kw)
@@ -239,8 +246,6 @@ class SmpcController:
                     "backend='xla'")
             return False
         if self.backend == "stream":
-            if self.config.algorithm != ALGORITHM_APG:
-                raise ValueError("backend='stream' implements APG only")
             self._use_stream = True
             return False
         if self.backend == "pallas":
@@ -267,9 +272,21 @@ class SmpcController:
                 pass
             return False
         from rapidnet_tpu.ops import pallas_qn
-        return pallas_qn.fits_vmem_qn(
-            pallas_qn.pad_qn_constants(self._fa),
-            int(self.config.lbfgs_buffer_size))
+        if pallas_qn.fits_vmem_qn(
+                pallas_qn.pad_qn_constants(self._fa),
+                int(self.config.lbfgs_buffer_size)):
+            return True
+        # whole-solve QN kernel exceeds VMEM: stream the oracle sweeps
+        # (solver/qn_stream.py) when the tree factors are streamable
+        # and the per-stage blocks fit the streaming VMEM budget
+        try:
+            from rapidnet_tpu.ops import pallas_stream
+            sc = pallas_stream.pack_stream_constants(self._fa)
+            if pallas_stream.fits_vmem_stream(sc):
+                self._use_stream = True
+        except ValueError:
+            pass
+        return False
 
     # ------------------------------------------------------------------
     def prepare_step(self, sim_time: int) -> dict:

@@ -1,0 +1,207 @@
+"""Streaming FBE/NAMA (solver/qn_stream.py) parity vs the XLA path.
+
+Runs in Pallas interpret mode on CPU.  The quasi-Newton line searches
+make branch decisions on f32 FBE values, so trajectories are compared
+at the agreement horizon (the golden-test approach of
+tests/test_quasi_newton_golden.py): exact-ish parity over a short run,
+then tolerance-bounded agreement over a longer one.
+"""
+
+import numpy as np
+import pytest
+
+from tests.conftest import fixture_path, requires_reference
+
+
+def _build_reference_problem(algorithm):
+    from rapidnet_tpu.engine.engine import Engine
+    from rapidnet_tpu.model.config import SmpcConfig
+    from rapidnet_tpu.model.forecaster import JsonForecaster
+    from rapidnet_tpu.model.network import DwnNetwork
+    from rapidnet_tpu.model.scenario_tree import ScenarioTree
+    from rapidnet_tpu.solver.controller import (_factor_arrays,
+                                                _step_arrays)
+
+    cfg = SmpcConfig.from_json(fixture_path("controllerConfig.json"))
+    cfg.algorithm = algorithm
+    net = DwnNetwork.from_json(fixture_path("network.json"))
+    tree = ScenarioTree.from_json(fixture_path("scenarioTree.json"))
+    fc = JsonForecaster(fixture_path("forecastor.json"))
+    fc.predict_demand(0)
+    fc.predict_prices(0)
+    eng = Engine(net, tree, cfg)
+    fa = _factor_arrays(eng)
+    step = _step_arrays(eng.prepare_step(
+        fc.nominal_demand, fc.nominal_prices, cfg.current_x,
+        cfg.prev_u, cfg.prev_demand))
+    return cfg, eng, fa, step
+
+
+def _kw(cfg, iters):
+    from rapidnet_tpu.engine.engine import XS_UPPER
+    return dict(inv_step=1.0 / cfg.step_size, step_size=cfg.step_size,
+                penalty_state=cfg.penalty_state,
+                penalty_safety=cfg.penalty_safety,
+                xs_upper=float(XS_UPPER), max_iterations=iters)
+
+
+@requires_reference
+@pytest.mark.parametrize("algorithm", ["globalFbeAlgorithm",
+                                       "namaAlgorithm"])
+def test_qn_stream_matches_xla_short_horizon(algorithm):
+    """Strict parity over the first iterations (before f32 rounding is
+    amplified through the oracle+line-search map — NAMA applies its
+    gradient step + combined direction from iteration 2, so its
+    amplification per iteration is steeper): controls, duals,
+    value/tau traces."""
+    import jax
+
+    from rapidnet_tpu.solver import quasi_newton
+    from rapidnet_tpu.solver.qn_stream import make_qn_stream
+
+    cfg, eng, fa, step = _build_reference_problem(algorithm)
+    kw = _kw(cfg, iters=3 if algorithm == "globalFbeAlgorithm" else 2)
+    ref = jax.jit(quasi_newton.make_solver(
+        algorithm=algorithm, lbfgs_buffer_size=5,
+        prefix_stages=eng.factor_step().prefix_stages, **kw))(fa, step)
+    out = make_qn_stream(fa, algorithm=algorithm,
+                         lbfgs_buffer_size=5, **kw)(step)
+
+    for k in ("control", "u", "x", "v"):
+        a, b = np.asarray(ref[k]), np.asarray(out[k])
+        assert np.abs(a - b).max() < 5e-4 * max(np.abs(a).max(), 1.0), k
+    for blk in ("xi", "psi"):
+        a = np.asarray(ref["y"][blk])
+        b = np.asarray(out["y"][blk])
+        assert np.abs(a - b).max() < 5e-4 * max(np.abs(a).max(), 1.0)
+    a = np.asarray(ref["value_fbe"])
+    b = np.asarray(out["value_fbe"])
+    np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["tau"]),
+                               np.asarray(ref["tau"]), atol=1e-6)
+    a = np.asarray(ref["primal_infeasibility"])
+    b = np.asarray(out["primal_infeasibility"])
+    np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-3)
+
+
+@requires_reference
+@pytest.mark.parametrize("algorithm", ["globalFbeAlgorithm",
+                                       "namaAlgorithm"])
+def test_qn_stream_agreement_horizon_40(algorithm):
+    """40 iterations with active line searches: the streamed trajectory
+    must stay within the problem's own f32 branch sensitivity.
+
+    The quasi-Newton tau loops branch on f32 FBE values, so ANY
+    last-digit reduction-order difference forks the trajectory —
+    measured here by running the PURE XLA path on a 1-ulp-perturbed
+    input (4.2%/1.6% control spread at 40 iters for FBE/NAMA).  The
+    stream-vs-XLA deviation must not exceed 1.5x that intrinsic spread
+    (and both stay inside the reference's 1e-1 solver-numerics
+    tolerance, src/test/TestSmpcController.cu:31-43)."""
+    import jax
+
+    from rapidnet_tpu.solver import quasi_newton
+    from rapidnet_tpu.solver.qn_stream import make_qn_stream
+
+    cfg, eng, fa, step = _build_reference_problem(algorithm)
+    kw = _kw(cfg, iters=40)
+    run = jax.jit(quasi_newton.make_solver(
+        algorithm=algorithm, lbfgs_buffer_size=5,
+        prefix_stages=eng.factor_step().prefix_stages, **kw))
+    ref = run(fa, step)
+    step_ulp = dict(step)
+    step_ulp["beta"] = step["beta"] * np.float32(1 + 1e-7)
+    spread = run(fa, step_ulp)
+    out = make_qn_stream(fa, algorithm=algorithm,
+                         lbfgs_buffer_size=5, **kw)(step)
+    a = np.asarray(ref["control"])
+    scale = max(np.abs(a).max(), 1.0)
+    dev_stream = np.abs(a - np.asarray(out["control"])).max() / scale
+    dev_ulp = np.abs(a - np.asarray(spread["control"])).max() / scale
+    assert dev_stream < max(1.5 * dev_ulp, 1e-3)
+    assert dev_stream < 1e-1          # reference golden tolerance
+    # line searches actually fired
+    assert np.asarray(ref["tau"]).max() > 0
+
+
+def test_qn_stream_branchy_tree_and_warm_start():
+    """Deep branching prefix through the in-kernel aggregation + dual
+    warm start round-trip (the receding-horizon deployment pattern)."""
+    import jax
+
+    from rapidnet_tpu.engine.engine import Engine
+    from rapidnet_tpu.model.config import synthetic_config
+    from rapidnet_tpu.model.forecaster import synthetic_forecaster
+    from rapidnet_tpu.model.network import synthetic_network
+    from rapidnet_tpu.model.scenario_tree import generate_tree
+    from rapidnet_tpu.solver import quasi_newton
+    from rapidnet_tpu.solver.controller import (_factor_arrays,
+                                                _step_arrays)
+    from rapidnet_tpu.solver.qn_stream import make_qn_stream
+
+    net = synthetic_network(nx=4, nu=7, nd=3, ne=2, seed=11)
+    tree = generate_tree(N=8, branching=[3, 2, 2], nd=3, nu=7, seed=11)
+    fc = synthetic_forecaster(N=8, nd=3, nu=7, sim_horizon=4, seed=11)
+    cfg = synthetic_config(net, tree, max_iterations=12, step_size=1e-3)
+    cfg.current_x = (0.98 * net.xmax).astype(np.float32)
+    eng = Engine(net, tree, cfg)
+    fc.predict_demand(0)
+    fc.predict_prices(0)
+    fa = _factor_arrays(eng)
+    step = _step_arrays(eng.prepare_step(
+        fc.nominal_demand, fc.nominal_prices, cfg.current_x,
+        cfg.prev_u, cfg.prev_demand))
+    kw = _kw(cfg, iters=12)
+    xla = jax.jit(quasi_newton.make_solver(
+        algorithm="globalFbeAlgorithm", lbfgs_buffer_size=5,
+        prefix_stages=eng.factor_step().prefix_stages, **kw))
+    sol = make_qn_stream(fa, algorithm="globalFbeAlgorithm",
+                         lbfgs_buffer_size=5, **kw)
+    ref0 = xla(fa, step)
+    out0 = sol(step)
+    a, b = np.asarray(ref0["control"]), np.asarray(out0["control"])
+    assert np.abs(a - b).max() < 1e-3 * max(np.abs(a).max(), 1.0)
+    # warm start from XLA-layout duals
+    y0 = jax.tree.map(np.asarray, ref0["y"])
+    ref1 = xla(fa, step, y0)
+    out1 = sol(step, y0)
+    a, b = np.asarray(ref1["control"]), np.asarray(out1["control"])
+    assert np.abs(a - b).max() < 1e-3 * max(np.abs(a).max(), 1.0)
+
+
+def test_controller_stream_backend_qn():
+    """SmpcController(backend='stream') dispatches FBE to the
+    streaming quasi-Newton solver and matches the XLA controller."""
+    from rapidnet_tpu.model.config import synthetic_config
+    from rapidnet_tpu.model.forecaster import synthetic_forecaster
+    from rapidnet_tpu.model.network import synthetic_network
+    from rapidnet_tpu.model.scenario_tree import generate_tree
+    from rapidnet_tpu.solver.controller import SmpcController
+
+    net = synthetic_network(nx=4, nu=7, nd=3, ne=2, seed=5)
+    tree = generate_tree(N=6, branching=[2, 2], nd=3, nu=7, seed=5)
+
+    def build(backend):
+        fc = synthetic_forecaster(N=6, nd=3, nu=7, sim_horizon=4, seed=5)
+        cfg = synthetic_config(net, tree, max_iterations=10,
+                               step_size=1e-3)
+        cfg.algorithm = "namaAlgorithm"
+        return SmpcController(cfg, network=net, tree=tree, forecaster=fc,
+                              backend=backend)
+
+    ref = build("xla")
+    got = build("stream")
+    got.initialise()
+    assert got._use_stream and not got._use_pallas
+    from rapidnet_tpu.solver import qn_stream  # noqa: F401  (dispatched)
+    for t in range(2):
+        a = ref.control_action(t)
+        b = got.control_action(t)
+        # this problem backtracks to tau ~ 1/256 — trajectories fork at
+        # the f32 level (a 1-ulp input perturbation moves the XLA
+        # path's own controls 3.3% here), so the bound is the
+        # reference's solver-numerics golden tier
+        # (src/test/TestSmpcController.cu:31-43)
+        np.testing.assert_allclose(b, a, rtol=1e-1, atol=1e-1)
+        ref.move_forward_in_time()
+        got.move_forward_in_time()
