@@ -187,15 +187,18 @@ def measure(repeats=REPEATS, include_qn=True):
     # the soft-constrained optimum it converges to the nonzero optimal
     # penalty slack, and the dual iterate keeps drifting along the
     # penalised directions — measured, both stall around O(0.1-1)
-    # while the CONTROL converges cleanly.  So: solution := APG's
-    # 500-iteration stage-0 control u* (the reference's default
-    # algorithm at the reference budget); time-to-solution of an
-    # algorithm := (its wall ms at budget) x k*/budget, where k* is
-    # the first iteration after which its control trace stays within
-    # TTS_RTOL * |u*|_inf of u*.  Cold and dual-warm-started (previous
-    # solve's duals at a 2%-perturbed state — the receding-horizon
-    # deployment pattern).  iterations = null marks an algorithm whose
-    # trace never stabilises at u* (an explicit negative result).
+    # while the CONTROL converges cleanly.  So: solution := u**, the
+    # stage-0 control of a 20x-budget (10,000-iteration) APG solve —
+    # an anchor INDEPENDENT of the 500-iteration budget (its stability
+    # is evidenced by the reported 5k-vs-10k drift); time-to-solution
+    # of an algorithm := (its wall ms at budget) x k*/budget, where k*
+    # is the first iteration after which its control trace stays
+    # within TTS_RTOL * |u**|_inf of u**.  Cold and dual-warm-started
+    # (previous solve's duals at a 2%-perturbed state — the
+    # receding-horizon deployment pattern).  iterations = null marks
+    # an algorithm whose trace never stabilises at u** within budget
+    # (an explicit negative result); *_final_dev_vs_anchor states how
+    # far each budget answer lands from u**.
     tts = {}
     if include_qn:
         kw_tr = dict(kw, trace_control=True)
@@ -218,9 +221,26 @@ def measure(repeats=REPEATS, include_qn=True):
                 ts.append(time.perf_counter() - t0)
             return out, float(np.median(ts)) * 1e3
 
-        out_ref, _ = solve_ms(solvers["apg"], (step1,))
-        u_star = np.asarray(out_ref["control_trace"])[-1]
-        tol_u = TTS_RTOL * max(float(np.abs(u_star).max()), 1.0)
+        # Independent convergence anchor (VERDICT r3 task 6): u** from
+        # a 20x-budget (10k-iteration) APG solve, NOT the 500-iteration
+        # answer — keying TTS to the budget answer made APG "converged"
+        # by construction.  Anchor stability is evidenced by the
+        # 5k-vs-10k answer drift.
+        def long_apg(iters):
+            run = jax.jit(apg_mod.make_apg(
+                prefix_stages=eng.factor_step().prefix_stages,
+                **dict(kw, max_iterations=iters)))
+            return np.asarray(jax.block_until_ready(
+                run(fa, step1))["control"])
+        u_5k = long_apg(5000)
+        u_star = long_apg(10000)
+        anchor_scale = max(float(np.abs(u_star).max()), 1.0)
+        anchor = {
+            "iterations": 10000,
+            "dev_5k_vs_10k": round(float(
+                np.abs(u_5k - u_star).max()) / anchor_scale, 5),
+        }
+        tol_u = TTS_RTOL * anchor_scale
         for name, run in solvers.items():
             out0 = jax.block_until_ready(run(fa, step0))
             y_warm = out0["y"]
@@ -238,7 +258,13 @@ def measure(repeats=REPEATS, include_qn=True):
                 entry[f"{mode}_ms"] = (round(ms * k / MAX_ITER, 3)
                                        if solved else None)
                 entry[f"{mode}_budget_ms"] = round(ms, 3)
+                # distance of the budget answer from the anchor —
+                # re-states the FBE/NAMA gap against a
+                # budget-independent target
+                entry[f"{mode}_final_dev_vs_anchor"] = round(
+                    float(err[-1]) / anchor_scale, 5)
             tts[name] = entry
+        tts["anchor"] = anchor
 
     return {
         "p50_s": p50,

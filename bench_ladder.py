@@ -121,10 +121,14 @@ def _solver(cfg, eng, fa, *, batch=None, dual_dtype=None,
 
     kw = _solver_kw(cfg)
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
-    if backend == "stream":
-        # streaming grid-over-stages kernel (large trees whose working
-        # set exceeds VMEM — config 5's regime; ops/pallas_stream.py)
+    if backend in ("stream", "stream_fused"):
+        # streaming grid-over-stages kernels (large trees whose working
+        # set exceeds VMEM — config 5's regime; ops/pallas_stream.py):
+        # two-kernel pipeline or the fused single-call (2N-grid) variant
         from rapidnet_tpu.ops import pallas_stream
+        if backend == "stream_fused":
+            run = pallas_stream.make_apg_stream_fused(fa, **kw)
+            return (lambda steps: run(steps)), "pallas-stream-fused"
         run = pallas_stream.make_apg_stream(fa, **kw)
         return (lambda steps: run(steps)), "pallas-stream"
     if on_tpu and dual_dtype is None:
@@ -372,7 +376,10 @@ def main(argv=None):
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     rep = args.repeats
+    transport_ms = (measure_transport_ms()
+                    if jax.default_backend() != "cpu" else 0.0)
     results = {"backend": jax.default_backend(),
+               "transport_ms": round(transport_ms, 3),
                "device": str(jax.devices()[0].device_kind
                              if hasattr(jax.devices()[0], "device_kind")
                              else jax.devices()[0])}
@@ -430,6 +437,29 @@ def main(argv=None):
     except Exception as exc:  # noqa: BLE001
         rows.append({"config": "5_1024scenario_H24_stream",
                      "error": str(exc)[:300]})
+    # 5f: fused single-pallas_call streaming variant
+    try:
+        rows.append(run_config("5_1024scenario_H24_stream_fused",
+                               *_cfg5_args(), rep5,
+                               backend="stream_fused",
+                               problem=prob5)[0])
+    except Exception as exc:  # noqa: BLE001
+        rows.append({"config": "5_1024scenario_H24_stream_fused",
+                     "error": str(exc)[:300]})
+    # 5h: HALF-width tree (512 scenarios) on the streaming kernel —
+    # the per-shard workload of a 2-device sharded-stream config-5
+    # solve (one real chip only; the virtual-mesh tier validates the
+    # sharded program, this row measures its per-shard compute)
+    try:
+        half = dict(CONFIG5)
+        half["branching"] = [8, 8, 4, 2]
+        rows.append(run_config(
+            "5h_512scenario_H24_stream_halfwidth",
+            half["dims"], half["N"], half["branching"], rep5,
+            backend="stream")[0])
+    except Exception as exc:  # noqa: BLE001
+        rows.append({"config": "5h_512scenario_H24_stream_halfwidth",
+                     "error": str(exc)[:300]})
     # 5c: same solve through shard_map on a 1-device mesh
     # (quantifies shard_map overhead on the real chip)
     try:
@@ -442,6 +472,11 @@ def main(argv=None):
     eff = ((r5["scenarios"] / r5["p50_ms"]) /
            (r4["scenarios"] / r4["p50_ms"]))
     results["weak_scaling_1024_vs_25_scenarios"] = round(float(eff), 3)
+    for r in rows:
+        if r.get("batch") == 1 and "p50_ms" in r:
+            r["marginal_ms"] = round(max(r["p50_ms"] - transport_ms,
+                                         0.0), 3)
+    ladder_regression_check(rows, args.out)
     results["rows"] = rows
     if not args.skip_device_scaling:
         results["device_scaling"] = device_scaling_table()
@@ -455,6 +490,47 @@ def main(argv=None):
 
 def _cfg5_args():
     return (CONFIG5["dims"], CONFIG5["N"], CONFIG5["branching"])
+
+
+def measure_transport_ms(repeats=15):
+    """Fixed per-dispatch transport latency of the device link.
+
+    Times a trivial staged computation (an (8,8) add) round-trip: on
+    the axon tunnel this is ~25 ms and dominates the small-config
+    single-solve rows, so the ladder also reports marginal
+    (transport-subtracted) compute per row (VERDICT r3 weak #7)."""
+    import jax
+    import jax.numpy as jnp
+
+    a = jax.device_put(np.ones((8, 8), np.float32))
+    f = jax.jit(lambda x: x + 1.0)
+    jax.block_until_ready(f(a))
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(a))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts) * 1e3)
+
+
+def ladder_regression_check(new_rows, out_path):
+    """Tripwire (VERDICT r3 task 8): flag >5% p50 slowdowns per config
+    row vs the previous LADDER.json (covers the config-5 stream row).
+    Informational, stderr only."""
+    try:
+        with open(out_path) as f:
+            prev = {r.get("config"): r for r in json.load(f)["rows"]}
+    except Exception:  # noqa: BLE001
+        return
+    for r in new_rows:
+        old = prev.get(r.get("config"))
+        if not old or "p50_ms" not in r or "p50_ms" not in old:
+            continue
+        delta = (r["p50_ms"] - old["p50_ms"]) / old["p50_ms"]
+        flag = "  ** REGRESSION >5% **" if delta > 0.05 else ""
+        print(f"[ladder] {r['config']}: p50 {old['p50_ms']:.1f} -> "
+              f"{r['p50_ms']:.1f} ms ({delta * 100:+.1f}%){flag}",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

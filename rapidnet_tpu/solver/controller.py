@@ -106,10 +106,11 @@ class SmpcController:
         if backend not in ("auto", "xla", "pallas", "stream"):
             raise ValueError(f"unknown backend '{backend}'")
         if mesh is not None:
-            if backend in ("pallas", "stream"):
-                raise ValueError("sharded solves run on the XLA path; "
-                                 f"backend='{backend}' is single-device")
-            backend = "xla"
+            if backend == "pallas":
+                raise ValueError(
+                    "the whole-solve Pallas kernels are single-device; "
+                    "with a mesh use backend='stream' (per-shard "
+                    "streaming kernels) or 'xla'/'auto'")
         self.mesh = mesh
         self.backend = backend
         self._use_pallas = False
@@ -206,11 +207,47 @@ class SmpcController:
         self._solver = jax.jit(run)
 
     def _initialise_sharded(self) -> None:
-        """Build the scenario-sharded shard_map solver over self.mesh."""
+        """Build the scenario-sharded shard_map solver over self.mesh.
+
+        backend='stream' (or 'auto' on a TPU mesh at >VMEM tree scale)
+        runs the per-shard streaming Pallas kernels with the
+        distinct-parent psum (ops/pallas_stream_sharded.py) — the fast
+        multi-chip path; the XLA shard_map solve is the general
+        fallback (all three algorithms, tolerance support)."""
+        cfg = self.config
+        if cfg.algorithm == ALGORITHM_APG and self.tolerance is None:
+            want = self.backend == "stream"
+            if self.backend == "auto":
+                on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+                if on_tpu:
+                    from rapidnet_tpu.ops import pallas_apg
+                    want = not pallas_apg.fits_vmem(
+                        pallas_apg.pad_constants(self._fa))
+            if want:
+                try:
+                    from rapidnet_tpu.ops.pallas_stream_sharded import \
+                        make_apg_stream_sharded
+                    self._solver = make_apg_stream_sharded(
+                        self.mesh, self._fa,
+                        inv_step=float(1.0 / cfg.step_size),
+                        step_size=float(cfg.step_size),
+                        penalty_state=float(cfg.penalty_state),
+                        penalty_safety=float(cfg.penalty_safety),
+                        xs_upper=float(XS_UPPER),
+                        max_iterations=int(cfg.max_iterations))
+                    self._use_stream = True
+                    return
+                except ValueError:
+                    if self.backend == "stream":
+                        raise
+        elif self.backend == "stream":
+            raise ValueError(
+                "backend='stream' with a mesh supports APG at a fixed "
+                "iteration budget; use 'xla'/'auto' for "
+                f"{cfg.algorithm} / tolerance solves")
         from rapidnet_tpu.parallel import (make_sharded_apg,
                                            make_sharded_quasi_newton,
                                            shard_factor_arrays)
-        cfg = self.config
         step_t = self.prepare_step(0)     # shape template (host arrays)
         kw = dict(prefix_stages=self.engine.factor_step().prefix_stages,
                   inv_step=float(1.0 / cfg.step_size),
@@ -353,7 +390,12 @@ class SmpcController:
             self._coerce_y_carry()
         step = self.prepare_step(sim_time)
         t0 = time.perf_counter()
-        if self.mesh is not None:
+        if self.mesh is not None and self._use_stream:
+            # per-shard streaming kernels: run(step, y0) stages and
+            # reshards internally
+            y0 = self._y_carry if self.warm_start else None
+            out = self._solver(step, y0)
+        elif self.mesh is not None:
             from rapidnet_tpu.parallel import (shard_dual_arrays,
                                                shard_step_arrays)
             if self._y_carry is None:

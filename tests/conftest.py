@@ -7,19 +7,34 @@ xla_force_host_platform_device_count.
 
 import os
 
-# Force the CPU backend for tests even when the session targets a TPU.
-# The machine's sitecustomize registers the axon TPU plugin and pins the
-# platform programmatically, so the env var alone is not enough — the
-# jax.config update below is what actually wins.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# Opt-in real-TPU tier: RAPIDNET_TPU_TESTS=1 python -m pytest -m tpu
+# leaves the session's TPU platform pinned so the @pytest.mark.tpu
+# suite (tests/test_tpu_compile.py) COMPILES the Pallas kernels on the
+# real chip (VERDICT r3: interpret-mode-only coverage would let a
+# Mosaic layout/VMEM regression pass CI).
+TPU_TIER = os.environ.get("RAPIDNET_TPU_TESTS") == "1"
+
+if not TPU_TIER:
+    # Force the CPU backend for tests even when the session targets a
+    # TPU.  The machine's sitecustomize registers the axon TPU plugin
+    # and pins the platform programmatically, so the env var alone is
+    # not enough — the jax.config update below is what actually wins.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not TPU_TIER:
+    jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: compiles kernels on the real TPU (opt-in: "
+        "RAPIDNET_TPU_TESTS=1 pytest -m tpu)")
 
 import numpy as np
 import pytest
