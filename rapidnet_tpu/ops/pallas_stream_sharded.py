@@ -733,3 +733,239 @@ def make_apg_stream_sharded(mesh, fa: dict, *, inv_step: float,
         return run_impl(cd_dev, step_in, y0t)
 
     return run
+
+
+# ---------------------------------------------------------------------
+# bare sharded oracle sweeps (for the quasi-Newton solvers)
+# ---------------------------------------------------------------------
+def make_sharded_sweeps(consts: dict, axis: str, *, affine: bool,
+                        interpret: bool | str = "auto",
+                        precision: str | lax.Precision =
+                            lax.Precision.HIGHEST):
+    """Sharded streaming sweeps WITHOUT the APG dual-update fusion.
+
+    The quasi-Newton building block (cf. ops/pallas_stream_qn.py):
+    ``backward(cd, w1, w2, wp[, beta]) -> v`` runs a per-shard S1
+    kernel over stages N-1..s_hi with shard-local aggregations, one
+    distinct-parent psum, and an XLA tail for the root-side stages;
+    ``forward(cd, v[, uhat, e, x0, pdu]) -> (x, u, p1, p2, pp)`` is
+    fully shard-local.  All slabs are the LOCAL (N, P, NSLP) blocks
+    (call inside shard_map).
+    """
+    if interpret == "auto":
+        interpret = jax.devices()[0].platform == "cpu"
+    N, ns, nx, nu, nv, NSLP, PX, PU, PV = consts["dims"]
+    s_hi = consts["s_hi"]
+    local_stages = consts["local_stages"]
+    cross_low = tuple(s for s in consts["cross_stages"] if s != s_hi)
+    n_loc = max(len(local_stages), 1)
+    RL, Rc = consts["RL"], consts["Rc"]
+    NK = N - s_hi
+    f32 = jnp.float32
+    PREC = precision
+
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32,
+                                   precision=PREC)
+
+    def s1(sq, nhp, cx1, cx2, cu, Bb, LT, iW, LCpT, LBpT, XCpT, *refs):
+        if affine:
+            beta, w1, w2, wp, o_v, o_qp, o_rp, t_s, a_s = refs
+        else:
+            w1, w2, wp, o_v, o_qp, o_rp, t_s, a_s = refs
+        i = pl.program_id(0)
+        s = N - 1 - i
+        sqv = sq[0]
+        d1 = cx1[0] * sqv
+        d2 = cx2[0] * sqv
+        g = cu[0] * sqv
+
+        @pl.when(i == 0)
+        def _():
+            t_s[...] = jnp.zeros((PX, NSLP), f32)
+            a_s[...] = jnp.zeros((PV, NSLP), f32)
+
+        t_new = d1 * w1[0] + d2 * w2[0] + t_s[...]
+        inner = a_s[...] + dot(Bb[...], t_new) + dot(LT[...], g * wp[0])
+        if affine:
+            inner = inner + beta[0]
+        o_v[0] = nhp[0] * dot(iW[...], inner)
+
+        q, r = t_new, inner
+        for k, ps in enumerate(local_stages):
+            is_s = s == ps
+
+            @pl.when(is_s)
+            def _(k=k, q=q, r=r):
+                qp = dot(q, LCpT[k])
+                rp_ = dot(r, LCpT[k])
+                t_s[...] = dot(qp, LBpT[k])
+                a_s[...] = dot(rp_, LBpT[k])
+
+            @pl.when(jnp.logical_not(is_s))
+            def _(q=q, r=r):
+                t_s[...] = q
+                a_s[...] = r
+            q, r = t_s[...], a_s[...]
+        if not local_stages:
+            t_s[...] = q
+            a_s[...] = r
+
+        @pl.when(i == NK - 1)
+        def _():
+            o_qp[...] = dot(t_s[...], XCpT[...])
+            o_rp[...] = dot(a_s[...], XCpT[...])
+
+    def s2(sq, cx1, cx2, cu, L, B, *refs):
+        if affine:
+            (x0, pdu, v, uhat, e,
+             o_x, o_u, o_p1, o_p2, o_pp, du_s, x_s) = refs
+        else:
+            v, o_x, o_u, o_p1, o_p2, o_pp, du_s, x_s = refs
+        i = pl.program_id(0)
+        sqv = sq[0]
+        d1 = cx1[0] * sqv
+        d2 = cx2[0] * sqv
+        g = cu[0] * sqv
+
+        @pl.when(i == 0)
+        def _():
+            if affine:
+                du_s[...] = jnp.broadcast_to(pdu[...], (PU, NSLP))
+                x_s[...] = jnp.broadcast_to(x0[...], (PX, NSLP))
+            else:
+                du_s[...] = jnp.zeros((PU, NSLP), f32)
+                x_s[...] = jnp.zeros((PX, NSLP), f32)
+
+        du = du_s[...] + dot(L[...], v[0])
+        u = (uhat[0] + du) if affine else du
+        x = x_s[...] + dot(B[...], u)
+        if affine:
+            x = x + e[0]
+        du_s[...] = du
+        x_s[...] = x
+        o_x[0] = x
+        o_u[0] = u
+        o_p1[0] = d1 * x
+        o_p2[0] = d2 * x
+        o_pp[0] = g * u
+
+    def rev(i):
+        return (N - 1 - i, 0, 0)
+
+    def fwd(i):
+        return (i, 0, 0)
+
+    def blk(Pd, index_map):
+        return pl.BlockSpec((1, Pd, NSLP), index_map,
+                            memory_space=pltpu.VMEM)
+
+    def colb(Pd, index_map):
+        return pl.BlockSpec((1, Pd, 1), index_map,
+                            memory_space=pltpu.VMEM)
+
+    def fullb(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    dslab = jax.ShapeDtypeStruct((N, PX, NSLP), f32)
+    uslab = jax.ShapeDtypeStruct((N, PU, NSLP), f32)
+    vslab = jax.ShapeDtypeStruct((N, PV, NSLP), f32)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    s1_in = [blk(1, rev), blk(1, rev),
+             colb(PX, rev), colb(PX, rev), colb(PU, rev),
+             fullb((PV, PX)), fullb((PV, PU)), fullb((PV, PV)),
+             fullb((n_loc, NSLP, RL)), fullb((n_loc, RL, NSLP)),
+             fullb((NSLP, Rc))]
+    if affine:
+        s1_in.append(blk(PV, rev))
+    s1_in += [blk(PX, rev), blk(PX, rev), blk(PU, rev)]
+
+    s1_call = pl.pallas_call(
+        s1, grid=(NK,), in_specs=s1_in,
+        out_specs=(blk(PV, rev), fullb((PX, Rc)), fullb((PV, Rc))),
+        out_shape=(vslab, jax.ShapeDtypeStruct((PX, Rc), f32),
+                   jax.ShapeDtypeStruct((PV, Rc), f32)),
+        scratch_shapes=[pltpu.VMEM((PX, NSLP), f32),
+                        pltpu.VMEM((PV, NSLP), f32)],
+        interpret=interpret, compiler_params=params)
+
+    s2_in = [blk(1, fwd),
+             colb(PX, fwd), colb(PX, fwd), colb(PU, fwd),
+             fullb((PU, PV)), fullb((PX, PU))]
+    if affine:
+        s2_in += [fullb((PX, 1)), fullb((PU, 1))]
+    s2_in.append(blk(PV, fwd))
+    if affine:
+        s2_in += [blk(PU, fwd), blk(PX, fwd)]
+
+    s2_call = pl.pallas_call(
+        s2, grid=(N,), in_specs=s2_in,
+        out_specs=(blk(PX, fwd), blk(PU, fwd),
+                   blk(PX, fwd), blk(PX, fwd), blk(PU, fwd)),
+        out_shape=(dslab, uslab, dslab, dslab, uslab),
+        scratch_shapes=[pltpu.VMEM((PU, NSLP), f32),
+                        pltpu.VMEM((PX, NSLP), f32)],
+        interpret=interpret, compiler_params=params)
+
+    HIGH = lax.Precision.HIGHEST
+
+    def xdot(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32,
+                                   precision=HIGH)
+
+    def low_tail(cd, w1, w2, wp, beta, v, qp, rp_):
+        """XLA tail: stage math for stages s_hi-1..0 on local blocks
+        (no dual update here — w is the input), cross-shard handoffs
+        via the distinct-parent psum."""
+        parents = lax.psum(jnp.concatenate([qp, rp_], axis=0), axis)
+        t = xdot(parents[:PX], cd["XBpT"])
+        a = xdot(parents[PX:], cd["XBpT"])
+        for s in range(s_hi - 1, -1, -1):
+            sqv = cd["sq"][s]
+            d1 = cd["cx1"][s] * sqv
+            d2 = cd["cx2"][s] * sqv
+            g = cd["cu"][s] * sqv
+            t = d1 * w1[s] + d2 * w2[s] + t
+            a_new = a + xdot(cd["Bb"], t) + xdot(cd["LT"], g * wp[s])
+            if beta is not None:
+                a_new = a_new + beta[s]
+            a = a_new
+            v_s = cd["nhp"][s] * xdot(cd["iW"], a)
+            v = lax.dynamic_update_slice(v, v_s[None], (s, 0, 0))
+            if s > 0 and s in cross_low:
+                part = jnp.concatenate(
+                    [xdot(t, cd[f"xlo_c{s}"]),
+                     xdot(a, cd[f"xlo_c{s}"])], axis=0)
+                part = lax.psum(part, axis)
+                t = xdot(part[:PX], cd[f"xlo_b{s}"])
+                a = xdot(part[PX:], cd[f"xlo_b{s}"])
+        return v
+
+    if affine:
+        def backward(cd, w1, w2, wp, beta):
+            v, qp, rp_ = s1_call(
+                cd["sq"], cd["nhp"], cd["cx1"], cd["cx2"], cd["cu"],
+                cd["Bb"], cd["LT"], cd["iW"], cd["LCpT"], cd["LBpT"],
+                cd["XCpT"], beta, w1, w2, wp)
+            return low_tail(cd, w1, w2, wp, beta, v, qp, rp_)
+
+        def forward(cd, v, uhat, e, x0, pdu):
+            return s2_call(cd["sq"], cd["cx1"], cd["cx2"], cd["cu"],
+                           cd["L"], cd["B"], x0, pdu, v, uhat, e)
+    else:
+        def backward(cd, w1, w2, wp):
+            v, qp, rp_ = s1_call(
+                cd["sq"], cd["nhp"], cd["cx1"], cd["cx2"], cd["cu"],
+                cd["Bb"], cd["LT"], cd["iW"], cd["LCpT"], cd["LBpT"],
+                cd["XCpT"], w1, w2, wp)
+            return low_tail(cd, w1, w2, wp, None, v, qp, rp_)
+
+        def forward(cd, v):
+            return s2_call(cd["sq"], cd["cx1"], cd["cx2"], cd["cu"],
+                           cd["L"], cd["B"], v)
+
+    return backward, forward

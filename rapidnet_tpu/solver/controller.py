@@ -240,11 +240,39 @@ class SmpcController:
                 except ValueError:
                     if self.backend == "stream":
                         raise
+        elif (cfg.algorithm in (ALGORITHM_FBE, ALGORITHM_NAMA)
+              and self.tolerance is None):
+            want = self.backend == "stream"
+            if self.backend == "auto":
+                on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+                if on_tpu:
+                    from rapidnet_tpu.ops import pallas_qn
+                    want = not pallas_qn.fits_vmem_qn(
+                        pallas_qn.pad_qn_constants(self._fa),
+                        int(cfg.lbfgs_buffer_size))
+            if want:
+                try:
+                    from rapidnet_tpu.solver import qn_stream
+                    self._solver = qn_stream.make_qn_stream(
+                        self._fa, algorithm=cfg.algorithm,
+                        lbfgs_buffer_size=int(cfg.lbfgs_buffer_size),
+                        mesh=self.mesh,
+                        inv_step=float(1.0 / cfg.step_size),
+                        step_size=float(cfg.step_size),
+                        penalty_state=float(cfg.penalty_state),
+                        penalty_safety=float(cfg.penalty_safety),
+                        xs_upper=float(XS_UPPER),
+                        max_iterations=int(cfg.max_iterations))
+                    self._use_stream = True
+                    return
+                except ValueError:
+                    if self.backend == "stream":
+                        raise
         elif self.backend == "stream":
             raise ValueError(
-                "backend='stream' with a mesh supports APG at a fixed "
-                "iteration budget; use 'xla'/'auto' for "
-                f"{cfg.algorithm} / tolerance solves")
+                "backend='stream' with a mesh requires a fixed "
+                "iteration budget (tolerance solves run on the XLA "
+                "path)")
         from rapidnet_tpu.parallel import (make_sharded_apg,
                                            make_sharded_quasi_newton,
                                            shard_factor_arrays)

@@ -17,6 +17,13 @@ solver/quasi_newton.py, re-laid-out for the >VMEM tree regime
   work — the preconditioner diagonals and bounds are reconstructed by
   rank-1 broadcast instead of materialised, exactly like the kernels).
 
+With ``mesh=`` the same solve runs scenario-sharded: each shard
+streams its own block (ops/pallas_stream_sharded.make_sharded_sweeps —
+shard-local prefix aggregations in-kernel, one distinct-parent psum
+per sweep) and every reduction scalar (prox norms, L-BFGS dots,
+line-search values) is a psum, so the data-dependent control flow
+takes identical branches on every shard.
+
 Same iteration semantics as solver/quasi_newton.make_solver (the
 golden-tested implementation); fixed iteration budget only — use the
 XLA path for tolerance-based early exit.
@@ -28,6 +35,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+from jax.sharding import PartitionSpec as P
+
+try:  # JAX >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from rapidnet_tpu.model.config import ALGORITHM_FBE, ALGORITHM_NAMA
 from rapidnet_tpu.ops import pallas_stream as stream
@@ -35,15 +48,6 @@ from rapidnet_tpu.ops.pallas_stream_qn import make_stream_sweeps
 from rapidnet_tpu.solver.quasi_newton import LS_MAX_STEPS, LS_TOLERANCE
 
 KEYS = ("y1", "y2", "yp")      # transposed dual triple
-
-
-def _mdot(a, b, rep):
-    """Masked slab dot: rep is (N, 1, NSP), each node counted once."""
-    return jnp.sum(rep * a * b)
-
-
-def _ddot(a, b, rep):
-    return sum(_mdot(a[k], b[k], rep) for k in KEYS)
 
 
 def _axpy(a, x, y):
@@ -56,18 +60,19 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
                    max_iterations: int, lbfgs_buffer_size: int,
                    project_control: bool = True,
                    interpret: bool | str = "auto",
+                   mesh=None,
                    precision: str | lax.Precision =
                        lax.Precision.HIGHEST):
     """Build the streaming FBE/NAMA solve: run(step, y0=None) -> outputs.
 
     Output contract matches quasi_newton.make_solver (control, x, u, v,
     y{xi,psi}, primal_infeasibility, value_fbe, tau, iterations).
+    ``mesh``: optional 1-D scenario mesh — per-shard streaming kernels
+    with psum'd scalars (see module docstring).
     """
     is_fbe = algorithm == ALGORITHM_FBE
     if not is_fbe and algorithm != ALGORITHM_NAMA:
         raise ValueError(f"unknown quasi-Newton algorithm {algorithm}")
-    consts = stream.pack_stream_constants(fa)
-    N, ns, nx, nu, nv, NSP, PX, PU, PV = consts["dims"]
     n_cols = lbfgs_buffer_size + 1
     c = float(inv_step)
     step_c = float(step_size)
@@ -77,21 +82,49 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
     f32 = jnp.float32
     MM = jax.lax.Precision.HIGHEST
 
-    bwd_a, fwd_a = make_stream_sweeps(consts, affine=True,
-                                      interpret=interpret,
-                                      precision=precision)
-    bwd_l, fwd_l = make_stream_sweeps(consts, affine=False,
-                                      interpret=interpret,
-                                      precision=precision)
+    # ---------------- layout + sweeps (single-dev or sharded) --------
+    if mesh is None:
+        consts = stream.pack_stream_constants(fa)
+        N, ns, nx, nu, nv, NSP, PX, PU, PV = consts["dims"]
+        NG = NSP                           # global padded lane width
+        axis = None
+        bwd_a, fwd_a = make_stream_sweeps(consts, affine=True,
+                                          interpret=interpret,
+                                          precision=precision)
+        bwd_l, fwd_l = make_stream_sweeps(consts, affine=False,
+                                          interpret=interpret,
+                                          precision=precision)
+        cd_host = {k: consts[k] for k in
+                   ("sq", "nhp", "rep", "cx1", "cx2", "cu", "bx_min",
+                    "bx_max", "bx_s", "bu_min", "bu_max", "Bb", "LT",
+                    "iW", "L", "B", "CpT", "BpT")}
+        n_shards, nsl, NSLP = 1, ns, NSP
+    else:
+        from rapidnet_tpu.ops.pallas_stream_sharded import (
+            make_sharded_sweeps, pack_stream_sharded)
+        axis = mesh.axis_names[0]
+        n_shards = int(np.prod(mesh.devices.shape))
+        consts = pack_stream_sharded(fa, n_shards)
+        N, ns, nx, nu, nv, NSLP, PX, PU, PV = consts["dims"]
+        nsl = consts["nsl"]
+        NG = n_shards * NSLP
+        bwd_a, fwd_a = make_sharded_sweeps(consts, axis, affine=True,
+                                           interpret=interpret,
+                                           precision=precision)
+        bwd_l, fwd_l = make_sharded_sweeps(consts, axis, affine=False,
+                                           interpret=interpret,
+                                           precision=precision)
+        cd_host = {k: consts[k] for k in
+                   ("sq", "nhp", "rep", "cx1", "cx2", "cu", "bx_min",
+                    "bx_max", "bx_s", "bu_min", "bu_max", "Bb", "LT",
+                    "iW", "L", "B", "LCpT", "LBpT", "XCpT", "XBpT")}
+        for s, (CpT, BpT) in consts["xops_low"].items():
+            cd_host[f"xlo_c{s}"] = CpT
+            cd_host[f"xlo_b{s}"] = BpT
 
-    cd = {k: jnp.asarray(consts[k]) for k in
-          ("sq", "nhp", "rep", "cx1", "cx2", "cu", "bx_min", "bx_max",
-           "bx_s", "bu_min", "bu_max", "Bb", "LT", "iW", "L", "B",
-           "CpT", "BpT")}
     W_pad = np.zeros((PU, PU), np.float32)
-    W_np = np.asarray(fa["W"], np.float32)
-    W_pad[:nu, :nu] = W_np
-    cd["W"] = jnp.asarray(W_pad)
+    W_pad[:nu, :nu] = np.asarray(fa["W"], np.float32)
+    cd_host["W"] = W_pad
     if "umin_phys" in fa:
         umin00 = jnp.asarray(np.asarray(fa["umin_phys"]))
         umax00 = jnp.asarray(np.asarray(fa["umax_phys"]))
@@ -99,8 +132,33 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
         umin00 = jnp.asarray(np.asarray(fa["umin"])[0, 0])
         umax00 = jnp.asarray(np.asarray(fa["umax"])[0, 0])
 
+    # ---------------- global<->transposed layout converters ----------
+    def to_t(a, Pd):
+        """(N, ns, d) -> (N, Pd, NG) with per-shard lane padding."""
+        a = jnp.asarray(a, f32)
+        N_, ns_, d = a.shape
+        a = a.reshape(N_, n_shards, nsl, d).transpose(0, 1, 3, 2)
+        a = jnp.pad(a, ((0, 0), (0, 0), (0, Pd - d), (0, NSLP - nsl)))
+        return a.transpose(0, 2, 1, 3).reshape(N_, Pd, NG)
+
+    def from_t(a, d):
+        N_ = a.shape[0]
+        a = a.reshape(N_, a.shape[1], n_shards, NSLP)
+        a = a[:, :d, :, :nsl].transpose(0, 2, 3, 1)
+        return a.reshape(N_, ns, d)
+
+    # ---------------- reductions (psum'd on a mesh) ----------------
+    def _psum(x):
+        return x if axis is None else lax.psum(x, axis)
+
+    def mdot(a, b, rep):
+        return _psum(jnp.sum(rep * a * b))
+
+    def ddot(a, b, rep):
+        return _psum(sum(jnp.sum(rep * a[k] * b[k]) for k in KEYS))
+
     def bounds(cd):
-        sq = cd["sq"]                      # (N, 1, NSP)
+        sq = cd["sq"]                      # (N, 1, lanes)
         return {"lo1": cd["bx_min"] * sq, "hi1": cd["bx_max"] * sq,
                 "lo2": cd["bx_s"] * sq,
                 "lop": cd["bu_min"] * sq, "hip": cd["bu_max"] * sq}
@@ -117,19 +175,19 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
         box2 = jnp.clip(pre2, bd["lo2"], xs_up)
         diff1 = pre1 - box1
         diff2 = pre2 - box2
-        dist1 = jnp.sqrt(_mdot(diff1, diff1, rep))
+        dist1 = jnp.sqrt(mdot(diff1, diff1, rep))
         shrink1 = jnp.where(dist1 > t1c,
                             1.0 - t1c / jnp.maximum(dist1, 1e-30), 0.0)
         out1 = box1 + shrink1 * diff1
-        dist2 = jnp.sqrt(_mdot(diff2, diff2, rep))
+        dist2 = jnp.sqrt(mdot(diff2, diff2, rep))
         shrink2 = jnp.where(dist2 > t2c,
                             1.0 - t2c / jnp.maximum(dist2, 1e-30), 0.0)
         out2 = box2 + shrink2 * diff2
         outp = jnp.clip(prep, bd["lop"], bd["hip"])
         g1 = out1 - jnp.clip(out1, bd["lo1"], bd["hi1"])
         g2 = out2 - jnp.clip(out2, bd["lo2"], xs_up)
-        gd1 = jnp.sqrt(_mdot(g1, g1, rep))
-        gd2 = jnp.sqrt(_mdot(g2, g2, rep))
+        gd1 = jnp.sqrt(mdot(g1, g1, rep))
+        gd2 = jnp.sqrt(mdot(g2, g2, rep))
         value_g = (jnp.where(shrink1 > 0, penalty_state * gd1, 0.0) +
                    jnp.where(shrink2 > 0, penalty_safety * gd2, 0.0))
         return {"y1": out1, "y2": out2, "yp": outp}, value_g
@@ -138,14 +196,14 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
     def value_fbe_t(cd, sp, w, u, res, value_g):
         """computeValueFbe (src/SmpcController.cu:1417-1476)."""
         rep = cd["rep"]
-        val = _ddot(w, res, rep) + 0.5 * step_c * _ddot(res, res, rep)
+        val = ddot(w, res, rep) + 0.5 * step_c * ddot(res, res, rep)
         val = val + value_g
-        du0 = u[0] - sp["prev_u_col"]           # (PU, NSP)
+        du0 = u[0] - sp["prev_u_col"]           # (PU, lanes)
         du = jnp.concatenate([du0[None], u[1:] - u[:-1]], axis=0)
         Wdu = jnp.einsum("ij,njs->nis", cd["W"], du, precision=MM)
         p = cd["sq"] * cd["sq"]                 # node probability
-        smooth = jnp.sum(rep * (p * du) * Wdu)
-        econ = jnp.sum(rep * (p * u) * sp["alpha_t"])
+        smooth = _psum(jnp.sum(rep * (p * du) * Wdu))
+        econ = _psum(jnp.sum(rep * (p * u) * sp["alpha_t"]))
         return val + smooth + econ
 
     # ---------------- oracles ----------------
@@ -172,10 +230,10 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
         rep = cd["rep"]
         s = {k: y[k] - y_prev[k] for k in KEYS}
         yv = {k: yvec[k] - yvec_prev[k] for k in KEYS}
-        norm_grad = jnp.sqrt(_ddot(yvec, yvec, rep))
-        inv_rho = _ddot(s, yv, rep)
-        norm_y2 = _ddot(yv, yv, rep)
-        norm_s2 = _ddot(s, s, rep)
+        norm_grad = jnp.sqrt(ddot(yvec, yvec, rep))
+        inv_rho = ddot(s, yv, rep)
+        norm_y2 = ddot(yv, yv, rep)
+        norm_s2 = ddot(s, s, rep)
 
         norm_grad = jnp.where(norm_grad < 1.0, norm_grad ** 3, norm_grad)
         accept = inv_rho / jnp.maximum(norm_s2, 1e-30) > 1e-6 * norm_grad
@@ -208,7 +266,7 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
             icol = jnp.where(icol < 0, mem + icol, icol)
             sk = {k: mat_s[k][icol] for k in KEYS}
             yk = {k: mat_y[k][icol] for k in KEYS}
-            a = rho[icol] * _ddot(sk, d, rep)
+            a = rho[icol] * ddot(sk, d, rep)
             d = {k: d[k] - a * yk[k] for k in KEYS}
             return d, alphas.at[icol].set(a)
 
@@ -222,7 +280,7 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
             icol = jnp.where(icol < 0, mem + icol, icol)
             sk = {k: mat_s[k][icol] for k in KEYS}
             yk = {k: mat_y[k][icol] for k in KEYS}
-            b = rho[icol] * _ddot(yk, d, rep)
+            b = rho[icol] * ddot(yk, d, rep)
             scale = alphas[icol] - b
             return {k: d[k] + scale * sk[k] for k in KEYS}
 
@@ -248,7 +306,8 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
                         direction_value):
         """Cumulative backtracking tau loop
         (src/SmpcController.cu:1280-1315) — quasi_newton.tau_line_search
-        verbatim on the transposed state."""
+        verbatim on the transposed state.  On a mesh every compared
+        scalar is a psum, so all shards branch identically."""
 
         def cond(carry):
             istep, tau, st, val = carry
@@ -286,7 +345,7 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
         1250-1320)."""
         h = linmap(cd, lbfgs_dir)
         dirs = {"x": h["x"], "u": h["u"], "prim": h["prim"]}
-        dval = _ddot(grad, lbfgs_dir, cd["rep"])
+        dval = ddot(grad, lbfgs_dir, cd["rep"])
         return tau_line_search(cd, bd, sp, state, lbfgs_dir, dirs,
                                value_ref, dval)
 
@@ -295,7 +354,7 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
         1326-1414): gradient step applied unconditionally, tau loop
         along d = lbfgsDir - step * res."""
         res = state["res"]
-        dval = -_ddot(res, lbfgs_dir, cd["rep"])
+        dval = -ddot(res, lbfgs_dir, cd["rep"])
         hres = linmap(cd, res)
         st = dict(state)
         st["w"] = _axpy(step_c, res, state["w"])
@@ -309,6 +368,22 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
                                dval)
 
     # ---------------- iteration ----------------
+    def signed_champion(res):
+        """signed_max_abs semantics (padded lanes are exactly zero);
+        global on a mesh via pmax/pmin of the block extrema."""
+        hi_x = jnp.maximum(jnp.max(res["y1"]), jnp.max(res["y2"]))
+        lo_x = jnp.minimum(jnp.min(res["y1"]), jnp.min(res["y2"]))
+        hi_p = jnp.max(res["yp"])
+        lo_p = jnp.min(res["yp"])
+        if axis is not None:
+            hi_x = lax.pmax(hi_x, axis)
+            lo_x = lax.pmin(lo_x, axis)
+            hi_p = lax.pmax(hi_p, axis)
+            lo_p = lax.pmin(lo_p, axis)
+        vx = jnp.where(hi_x > -lo_x, hi_x, lo_x)
+        vp = jnp.where(hi_p > -lo_p, hi_p, lo_p)
+        return jnp.maximum(vx, vp)
+
     def one_iteration(cd, bd, sp, carry, it):
         w = carry["w"]
         sol = solve(cd, sp, w)
@@ -349,14 +424,7 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
             it > 0, with_qn, without_qn, (state, carry["lbfgs"]))
 
         y_new = _axpy(step_c, state["res"], state["w"])
-        # signed infeasibility champion (signed_max_abs semantics —
-        # padded lanes are exactly zero, so they never win the argmax)
-        fx = jnp.concatenate([state["res"]["y1"].reshape(-1),
-                              state["res"]["y2"].reshape(-1)])
-        fp = state["res"]["yp"].reshape(-1)
-        vx = fx[jnp.argmax(jnp.abs(fx))]
-        vp = fp[jnp.argmax(jnp.abs(fp))]
-        infeas = jnp.maximum(vx, vp)
+        infeas = signed_champion(state["res"])
         new_carry = {
             "y": y_new, "y_prev": carry["y"], "yvec_prev": yvec,
             "w": y_new, "lbfgs": lb,
@@ -364,13 +432,13 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
         }
         return new_carry, (infeas, value, tau)
 
-    def zero_triple():
-        return {"y1": jnp.zeros((N, PX, NSP), f32),
-                "y2": jnp.zeros((N, PX, NSP), f32),
-                "yp": jnp.zeros((N, PU, NSP), f32)}
+    def zero_triple(lanes):
+        return {"y1": jnp.zeros((N, PX, lanes), f32),
+                "y2": jnp.zeros((N, PX, lanes), f32),
+                "yp": jnp.zeros((N, PU, lanes), f32)}
 
-    def init_carry(y0):
-        zero = zero_triple()
+    def init_carry(y0, lanes):
+        zero = zero_triple(lanes)
         if y0 is None:
             y0 = zero
         lb0 = {
@@ -384,50 +452,108 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
         }
         return {"y": y0, "y_prev": y0, "yvec_prev": zero,
                 "w": y0, "lbfgs": lb0,
-                "x": jnp.zeros((N, PX, NSP), f32),
-                "u": jnp.zeros((N, PU, NSP), f32),
-                "v": jnp.zeros((N, PV, NSP), f32)}
+                "x": jnp.zeros((N, PX, lanes), f32),
+                "u": jnp.zeros((N, PU, lanes), f32),
+                "v": jnp.zeros((N, PV, lanes), f32)}
 
-    @jax.jit
-    def run_impl(cd, step_in, y0):
-        sp = stream.pack_stream_step(step_in, consts["dims"])
-        sp["alpha_t"] = stream._to_t(step_in["alpha_price"], NSP, PU)
-        sp["prev_u_col"] = jnp.pad(
-            jnp.asarray(step_in["prev_u"], f32), (0, PU - nu))[:, None]
+    def solve_body(cd, sp, y0):
+        """The full iteration loop on (per-shard, if meshed) slabs."""
         bd = bounds(cd)
-        carry = init_carry(y0)
+        lanes = cd["sq"].shape[-1]
+        carry = init_carry(y0, lanes)
 
         def body(carry, it):
             return one_iteration(cd, bd, sp, carry, it)
 
         carry, (infeas, values, taus) = lax.scan(
             body, carry, jnp.arange(max_iterations))
+        u0 = carry["u"][0, :, 0]
+        if axis is not None:
+            u0 = jnp.where(lax.axis_index(axis) == 0, u0,
+                           jnp.zeros_like(u0))
+            u0 = lax.psum(u0, axis)
+        return {"x": carry["x"], "u": carry["u"], "v": carry["v"],
+                "y1": carry["y"]["y1"], "y2": carry["y"]["y2"],
+                "yp": carry["y"]["yp"], "control": u0,
+                "infeas": infeas, "values": values, "taus": taus}
 
-        u0 = carry["u"][0, :nu, 0]
+    if mesh is not None:
+        def cd_spec(k, v):
+            if k in ("sq", "nhp", "rep"):
+                return P(None, None, axis)
+            if k in ("LCpT", "LBpT", "XCpT", "XBpT") or \
+                    k.startswith("xlo_"):
+                return P(axis, *([None] * (np.asarray(v).ndim - 1)))
+            return P()
+
+        cd_specs = {k: cd_spec(k, v) for k, v in cd_host.items()}
+        slab = P(None, None, axis)
+        sp_specs = {"beta": slab, "uhat": slab, "e": slab,
+                    "alpha_t": slab, "x0": P(), "pdu": P(),
+                    "prev_u_col": P()}
+        y_specs = {k: slab for k in KEYS}
+        out_specs = {"x": slab, "u": slab, "v": slab,
+                     "y1": slab, "y2": slab, "yp": slab,
+                     "control": P(), "infeas": P(), "values": P(),
+                     "taus": P()}
+
+        def body_shard(cd, sp, y0):
+            cd = dict(cd)
+            for k in list(cd):
+                if k in ("LCpT", "LBpT", "XCpT", "XBpT") or \
+                        k.startswith("xlo_"):
+                    cd[k] = cd[k][0]
+            return solve_body(cd, sp, y0)
+
+        fn = shard_map(body_shard, mesh=mesh,
+                       in_specs=(cd_specs, sp_specs, y_specs),
+                       out_specs=out_specs, check_vma=False)
+    else:
+        fn = solve_body
+
+    cd_dev = {k: jnp.asarray(v) for k, v in cd_host.items()}
+
+    @jax.jit
+    def run_impl(cd, step_in, y0):
+        sp = {"beta": to_t(step_in["beta"], PV),
+              "uhat": to_t(step_in["uhat"], PU),
+              "e": to_t(step_in["e"], PX),
+              "alpha_t": to_t(step_in["alpha_price"], PU),
+              "x0": jnp.pad(jnp.asarray(step_in["x0"], f32),
+                            (0, PX - nx))[:, None],
+              "pdu": jnp.pad(jnp.asarray(step_in["prev_u"], f32) -
+                             jnp.asarray(step_in["prev_uhat"], f32),
+                             (0, PU - nu))[:, None],
+              "prev_u_col": jnp.pad(
+                  jnp.asarray(step_in["prev_u"], f32),
+                  (0, PU - nu))[:, None]}
+        out = fn(cd, sp, y0)
+        u0 = out["control"][:nu]
         if project_control:
             u0 = jnp.clip(u0, umin00, umax00)
-        xi = jnp.concatenate(
-            [stream._from_t(carry["y"]["y1"], ns, nx),
-             stream._from_t(carry["y"]["y2"], ns, nx)], axis=-1)
+        xi = jnp.concatenate([from_t(out["y1"], nx),
+                              from_t(out["y2"], nx)], axis=-1)
         return {
             "control": u0,
-            "x": stream._from_t(carry["x"], ns, nx),
-            "u": stream._from_t(carry["u"], ns, nu),
-            "v": stream._from_t(carry["v"], ns, nv),
-            "y": {"xi": xi,
-                  "psi": stream._from_t(carry["y"]["yp"], ns, nu)},
-            "primal_infeasibility": infeas,
-            "value_fbe": values, "tau": taus,
+            "x": from_t(out["x"], nx),
+            "u": from_t(out["u"], nu),
+            "v": from_t(out["v"], nv),
+            "y": {"xi": xi, "psi": from_t(out["yp"], nu)},
+            "primal_infeasibility": out["infeas"],
+            "value_fbe": out["values"], "tau": out["taus"],
             "iterations": jnp.int32(max_iterations),
         }
 
     def run(step_in, y0=None):
         if y0 is not None:
             xi = jnp.asarray(y0["xi"], f32)
-            y0 = {"y1": stream._to_t(xi[..., :nx], NSP, PX),
-                  "y2": stream._to_t(xi[..., nx:], NSP, PX),
-                  "yp": stream._to_t(jnp.asarray(y0["psi"], f32),
-                                     NSP, PU)}
-        return run_impl(cd, step_in, y0)
+            y0 = {"y1": to_t(xi[..., :nx], PX),
+                  "y2": to_t(xi[..., nx:], PX),
+                  "yp": to_t(jnp.asarray(y0["psi"], f32), PU)}
+        else:
+            y0 = {"y1": jnp.zeros((N, PX, NG), f32),
+                  "y2": jnp.zeros((N, PX, NG), f32),
+                  "yp": jnp.zeros((N, PU, NG), f32)}
+        return run_impl(cd_dev, step_in, y0)
 
     return run

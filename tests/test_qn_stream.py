@@ -205,3 +205,81 @@ def test_controller_stream_backend_qn():
         np.testing.assert_allclose(b, a, rtol=1e-1, atol=1e-1)
         ref.move_forward_in_time()
         got.move_forward_in_time()
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_qn_stream_sharded_matches_single(n_dev):
+    """mesh= : per-shard streaming sweeps + psum'd scalars must
+    reproduce the single-device streaming QN bit-for-bit-ish (same
+    kernel math per block; only reduction order differs)."""
+    import jax
+
+    from rapidnet_tpu.engine.engine import Engine
+    from rapidnet_tpu.model.config import synthetic_config
+    from rapidnet_tpu.model.forecaster import synthetic_forecaster
+    from rapidnet_tpu.model.network import synthetic_network
+    from rapidnet_tpu.model.scenario_tree import generate_tree
+    from rapidnet_tpu.parallel import make_mesh
+    from rapidnet_tpu.solver.controller import (_factor_arrays,
+                                                _step_arrays)
+    from rapidnet_tpu.solver.qn_stream import make_qn_stream
+
+    net = synthetic_network(nx=4, nu=7, nd=3, ne=2, seed=11)
+    tree = generate_tree(N=8, branching=[4, 2, 2], nd=3, nu=7, seed=11)
+    fc = synthetic_forecaster(N=8, nd=3, nu=7, sim_horizon=4, seed=11)
+    cfg = synthetic_config(net, tree, max_iterations=12, step_size=1e-3)
+    cfg.current_x = (0.98 * net.xmax).astype(np.float32)
+    eng = Engine(net, tree, cfg)
+    fc.predict_demand(0)
+    fc.predict_prices(0)
+    fa = _factor_arrays(eng)
+    step = _step_arrays(eng.prepare_step(
+        fc.nominal_demand, fc.nominal_prices, cfg.current_x,
+        cfg.prev_u, cfg.prev_demand))
+    kw = _kw(cfg, iters=12)
+    ref = make_qn_stream(fa, algorithm="globalFbeAlgorithm",
+                         lbfgs_buffer_size=5, **kw)(step)
+    out = make_qn_stream(fa, algorithm="globalFbeAlgorithm",
+                         lbfgs_buffer_size=5,
+                         mesh=make_mesh(n_dev), **kw)(step)
+    for k in ("control", "u", "x"):
+        a, b = np.asarray(ref[k]), np.asarray(out[k])
+        # reduction order differs across shards -> line-search branch
+        # noise bounds this like the XLA-vs-stream comparison
+        assert np.abs(a - b).max() < 1e-3 * max(np.abs(a).max(), 1.0), k
+    np.testing.assert_allclose(np.asarray(out["tau"]),
+                               np.asarray(ref["tau"]), atol=0.51)
+
+
+def test_controller_mesh_stream_qn():
+    """SmpcController(mesh=..., backend='stream') dispatches FBE/NAMA
+    to the sharded streaming quasi-Newton solver."""
+    from rapidnet_tpu.model.config import synthetic_config
+    from rapidnet_tpu.model.forecaster import synthetic_forecaster
+    from rapidnet_tpu.model.network import synthetic_network
+    from rapidnet_tpu.model.scenario_tree import generate_tree
+    from rapidnet_tpu.parallel import make_mesh
+    from rapidnet_tpu.solver.controller import SmpcController
+
+    net = synthetic_network(nx=4, nu=7, nd=3, ne=2, seed=7)
+    tree = generate_tree(N=6, branching=[4, 2], nd=3, nu=7, seed=7)
+
+    def build(backend, mesh=None):
+        fc = synthetic_forecaster(N=6, nd=3, nu=7, sim_horizon=4, seed=7)
+        cfg = synthetic_config(net, tree, max_iterations=10,
+                               step_size=1e-3)
+        cfg.algorithm = "globalFbeAlgorithm"
+        return SmpcController(cfg, network=net, tree=tree, forecaster=fc,
+                              backend=backend, mesh=mesh)
+
+    ref = build("stream")                 # single-device streaming QN
+    got = build("stream", mesh=make_mesh(4))
+    got.initialise()
+    assert got._use_stream
+    for t in range(2):
+        a = ref.control_action(t)
+        b = got.control_action(t)
+        # same kernels per block; reduction order -> line-search noise
+        np.testing.assert_allclose(b, a, rtol=5e-3, atol=5e-3)
+        ref.move_forward_in_time()
+        got.move_forward_in_time()
