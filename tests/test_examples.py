@@ -63,3 +63,9 @@ def test_real_data_example():
                "--steps", "1", "--iterations", "40",
                "--platform", "cpu")
     assert "network  kpi" in out
+
+
+def test_large_tree_streaming_example():
+    out = _run("large_tree_streaming.py", "--platform", "cpu",
+               "--scenarios", "8", "--iters", "15", "--steps", "2")
+    assert "economic KPI" in out
