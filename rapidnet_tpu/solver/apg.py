@@ -9,10 +9,13 @@ infeasibility); here the *entire* iteration loop is one ``lax.scan`` /
 round-trips.
 
 Beyond reference parity:
-* ``warm_start``: pass the previous solve's dual pair as ``y0`` — in
-  receding-horizon closed loops this typically cuts iterations-to-
-  tolerance several-fold (the reference always cold-starts,
-  src/SmpcController.cu:425-432).
+* ``warm_start``: pass the previous solve's dual pair as ``y0`` (the
+  reference always cold-starts, src/SmpcController.cu:425-432).
+  MEASURED (tools/warm_start_study.py, docs/performance.md): on this
+  problem family dual warm starting does NOT improve closed-loop
+  accuracy-per-budget — warm and cold trajectories agree to <=0.01%
+  at every budget from 100 to 5000 iterations.  The mechanism is
+  supported for checkpoint/resume continuity, not as an accelerator.
 * ``tolerance``: early termination on the primal-infeasibility
   diagnostic, via ``lax.while_loop`` (the reference always runs the
   full budget).

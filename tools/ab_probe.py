@@ -49,7 +49,14 @@ def build_problem():
 
 def main():
     repeats = int(sys.argv[1]) if len(sys.argv) > 1 else 7
+    import os
+
     import jax
+    if os.environ.get("RAPIDNET_AB_CPU") == "1":
+        # CPU A/B: transport-free timings isolate CODE deltas from
+        # tunnel drift (sitecustomize pins the TPU platform, so the
+        # config update — not the env var — is what wins)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     import rapidnet_tpu
@@ -93,16 +100,21 @@ def main():
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts) * 1e3)
 
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
     run_xla = jax.jit(apg_mod.make_apg(prefix_stages=prefix, **kw))
     res = {"transport_ms": round(transport_ms, 3),
            "xla_ms": round(time_single(lambda s: run_xla(fa, s)), 3)}
-    run_pl = pallas_apg.make_apg_pallas(fa, **kw)
-    res["pallas_ms"] = round(time_single(run_pl), 3)
+    if on_tpu:
+        run_pl = pallas_apg.make_apg_pallas(fa, **kw)
+        res["pallas_ms"] = round(time_single(run_pl), 3)
 
-    # batch 32 (both paths)
-    B = 32
+    # batch 32 (both paths); batch 8 on CPU (a 32-batch CPU solve is
+    # ~40 s per repeat — the CPU A/B only needs a relative number)
+    B = 32 if on_tpu else 8
+    res["batch"] = B
     run_xb = jax.jit(apg_mod.make_apg_batch(prefix_stages=prefix, **kw))
-    run_pb = pallas_apg.make_apg_pallas_batch(fa, **kw)
+    run_pb = (pallas_apg.make_apg_pallas_batch(fa, **kw)
+              if on_tpu else None)
 
     def batch_arg():
         steps = [rand_step() for _ in range(B)]
@@ -120,7 +132,8 @@ def main():
         return float(np.median(ts) * 1e3)
 
     res["xla_batch32_ms"] = round(time_batch(lambda s: run_xb(fa, s)), 3)
-    res["pallas_batch32_ms"] = round(time_batch(run_pb), 3)
+    if run_pb is not None:
+        res["pallas_batch32_ms"] = round(time_batch(run_pb), 3)
     res["checkout"] = rapidnet_tpu.__file__
     print(json.dumps(res), flush=True)
 

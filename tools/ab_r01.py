@@ -21,8 +21,10 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 
 
-def run_probe(pythonpath, repeats):
+def run_probe(pythonpath, repeats, cpu=False):
     env = dict(os.environ, PYTHONPATH=pythonpath)
+    if cpu:
+        env["RAPIDNET_AB_CPU"] = "1"
     cp = subprocess.run(
         [sys.executable, os.path.join(HERE, "ab_probe.py"),
          str(repeats)],
@@ -40,6 +42,8 @@ def main():
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--repeats", type=int, default=7)
     ap.add_argument("--r01", default="9b6fba9")
+    ap.add_argument("--cpu", action="store_true",
+                    help="transport-free CPU A/B (code-delta only)")
     args = ap.parse_args()
 
     wt = "/tmp/r01ab"
@@ -51,7 +55,7 @@ def main():
     results = {"r01": [], "head": []}
     for r in range(args.rounds):
         for name, path in (("r01", wt), ("head", REPO)):
-            res = run_probe(path, args.repeats)
+            res = run_probe(path, args.repeats, cpu=args.cpu)
             res["round"] = r
             results[name].append(res)
             print(json.dumps({"variant": name, **res}), flush=True)
@@ -64,7 +68,7 @@ def main():
     summary = {"summary": True}
     for name in ("r01", "head"):
         for key in ("transport_ms", "xla_ms", "pallas_ms",
-                    "xla_batch32_ms", "pallas_batch32_ms"):
+                    "xla_batch32_ms", "pallas_batch32_ms", "batch"):
             summary[f"{name}_{key}"] = med(results[name], key)
         t = summary[f"{name}_transport_ms"] or 0.0
         for key in ("xla_ms", "pallas_ms"):
