@@ -437,8 +437,12 @@ def main(argv=None):
     except Exception as exc:  # noqa: BLE001
         rows.append({"config": "5_1024scenario_H24_stream",
                      "error": str(exc)[:300]})
-    # 5f: fused single-pallas_call streaming variant
+    # 5f: fused single-pallas_call streaming variant (opt-in:
+    # RAPIDNET_LADDER_FUSED=1 — its config-5 remote Mosaic compile is
+    # the round-4 tunnel-wedge suspect; see tools/bench_r4_stream.py)
     try:
+        if os.environ.get("RAPIDNET_LADDER_FUSED") != "1":
+            raise RuntimeError("skipped (RAPIDNET_LADDER_FUSED != 1)")
         rows.append(run_config("5_1024scenario_H24_stream_fused",
                                *_cfg5_args(), rep5,
                                backend="stream_fused",

@@ -30,6 +30,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--iters", type=int, default=500)
+    ap.add_argument("--skip-fused", action="store_true",
+                    help="skip the fused 1-call variant (its remote "
+                         "Mosaic compile at config-5 scale is the "
+                         "prime suspect for the round-4 tunnel wedge; "
+                         "run it LAST and only when everything else "
+                         "is already recorded)")
     args = ap.parse_args()
 
     import jax
@@ -48,10 +54,16 @@ def main():
 
     variants = [
         ("stream2_highest", pallas_stream.make_apg_stream, "highest"),
-        ("fused_highest", pallas_stream.make_apg_stream_fused, "highest"),
         ("stream2_high", pallas_stream.make_apg_stream, "high"),
-        ("fused_high", pallas_stream.make_apg_stream_fused, "high"),
     ]
+    if not args.skip_fused:
+        # fused LAST: its config-5 remote compile is the wedge suspect
+        variants += [
+            ("fused_highest", pallas_stream.make_apg_stream_fused,
+             "highest"),
+            ("fused_high", pallas_stream.make_apg_stream_fused,
+             "high"),
+        ]
 
     ref_u = None
     rows = []
