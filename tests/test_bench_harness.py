@@ -24,7 +24,13 @@ def test_bench_ladder_smoke(tmp_path):
     names = [r["config"] for r in data["rows"]]
     assert any("1_toy" in n for n in names)
     assert any("5_1024scenario" in n for n in names)
-    assert all(r["solves_per_s"] > 0 for r in data["rows"])
+    # rows either measured or carry an explicit reason (e.g. the
+    # opt-in fused config-5 row, or streaming rows on platforms
+    # without the kernels)
+    for r in data["rows"]:
+        assert r.get("solves_per_s", 0) > 0 or "error" in r, r
+    measured = [r for r in data["rows"] if "solves_per_s" in r]
+    assert len(measured) >= 6
 
 
 def test_bench_measure_smoke(monkeypatch):
