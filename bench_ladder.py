@@ -231,6 +231,45 @@ def sharded_overhead_row(problem, repeats):
     return rec
 
 
+def sharded_stream_row(problem, repeats):
+    """Config-5 per-shard STREAMING kernels inside shard_map on a
+    1-device mesh (ops/pallas_stream_sharded.py): the multi-chip fast
+    path's on-chip cost vs both the plain streaming kernel (its
+    overhead) and the sharded XLA row (the round-3 57% tax it
+    removes).  VERDICT r3 task 2 on-chip evidence — with one real
+    chip, the 1-device-mesh row plus the half-width stream row (5h,
+    each shard's workload) bound the 2-device solve time."""
+    import jax
+
+    from rapidnet_tpu.ops.pallas_stream_sharded import \
+        make_apg_stream_sharded
+    from rapidnet_tpu.parallel import make_mesh
+    cfg, eng, fa, make_step, tree = problem
+    rng = np.random.default_rng(7)
+    step = make_step(_rand_x0(cfg, rng))
+    mesh = make_mesh(1)
+    # emulate_shards=2: the 1-device mesh executes the EXACT 2-device
+    # program structure (K1a split at s_hi, psum, XLA tail)
+    run = make_apg_stream_sharded(mesh, fa, emulate_shards=2,
+                                  **_solver_kw(cfg))
+    arg = jax.device_put(step)
+    jax.block_until_ready(arg)
+    jax.block_until_ready(run(arg))                # compile + warm
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(arg))
+        ts.append(time.perf_counter() - t0)
+    ms = float(np.median(ts) * 1e3)
+    rec = {"config": "5_1024scenario_H24_shardmap_stream_1dev",
+           "nodes": int(tree.n_nodes), "scenarios": int(tree.ns),
+           "iters": MAX_ITER, "path": "pallas-stream+shard_map",
+           "batch": 1,
+           "p50_ms": round(ms, 3), "solves_per_s": round(1e3 / ms, 3)}
+    print(json.dumps(rec))
+    return rec
+
+
 # ----------------------------------------------------------------------
 # virtual-mesh scaling + collective-bytes evidence (subprocess: the
 # host-platform device count must be fixed before the backend starts)
@@ -470,6 +509,13 @@ def main(argv=None):
         rows.append(sharded_overhead_row(prob5, rep5))
     except Exception as exc:  # noqa: BLE001
         rows.append({"config": "5_1024scenario_H24_shardmap_1dev",
+                     "error": str(exc)[:300]})
+    # 5cs: per-shard streaming kernels inside shard_map, 1-device mesh
+    # (the multi-chip fast path of VERDICT r3 task 2, on-chip)
+    try:
+        rows.append(sharded_stream_row(prob5, rep5))
+    except Exception as exc:  # noqa: BLE001
+        rows.append({"config": "5_1024scenario_H24_shardmap_stream_1dev",
                      "error": str(exc)[:300]})
     # scenario-weak-scaling efficiency: per-scenario solve rate at
     # ns=1024 vs ns=25 (config 4) on the same chip

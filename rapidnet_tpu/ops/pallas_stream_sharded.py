@@ -104,11 +104,24 @@ def _to_t_sharded(a, n_shards, nsl, NSLP, Pdim):
     return out
 
 
-def pack_stream_sharded(fa: dict, n_shards: int) -> dict:
-    """Host-side pack for the sharded streaming solve."""
+def pack_stream_sharded(fa: dict, n_shards: int,
+                        emulate_shards: int | None = None) -> dict:
+    """Host-side pack for the sharded streaming solve.
+
+    ``emulate_shards``: classify prefix stages (local vs cross-shard)
+    as if the tree were split that many ways while packing for the
+    real ``n_shards``.  Lets a 1-device mesh execute the EXACT program
+    structure of an ``emulate_shards``-device solve (K1a split, psum,
+    XLA tail) for on-chip overhead measurement — the math is identical
+    because the cross-stage operators always cover the full local
+    block."""
     base = pack_stream_constants(fa)      # validates rank-1 structure
     N, ns, nx, nu, nv, _NSP, PX, PU, PV = base["dims"]
-    info = analyze_prefix_locality(fa, n_shards)
+    cls = analyze_prefix_locality(fa, emulate_shards or n_shards)
+    info = {"s_hi": cls["s_hi"], "local": cls["local"],
+            "cross": cls["cross"], "nsl": ns // n_shards}
+    if ns % n_shards != 0:
+        raise ValueError(f"ns={ns} not divisible by {n_shards} shards")
     nsl = info["nsl"]
     NSLP = _pad(nsl, LANE)
     W = n_shards * NSLP                    # global padded lane width
@@ -199,16 +212,21 @@ def make_apg_stream_sharded(mesh, fa: dict, *, inv_step: float,
                             project_control: bool = True,
                             interpret: bool | str = "auto",
                             precision: str | lax.Precision =
-                                lax.Precision.HIGHEST):
+                                lax.Precision.HIGHEST,
+                            emulate_shards: int | None = None):
     """Streaming APG over a 1-D scenario mesh: run(step, y0=None).
 
     Same output contract as make_apg_stream; x/u/v/y outputs come back
-    globally assembled (the solve itself keeps them sharded)."""
+    globally assembled (the solve itself keeps them sharded).
+    ``emulate_shards``: see pack_stream_sharded — run the program
+    structure of an N-way-sharded solve on a smaller (e.g. 1-device)
+    mesh for overhead measurement."""
     if interpret == "auto":
         interpret = jax.devices()[0].platform == "cpu"
     axis = mesh.axis_names[0]
     n_shards = int(np.prod(mesh.devices.shape))
-    consts = pack_stream_sharded(fa, n_shards)
+    consts = pack_stream_sharded(fa, n_shards,
+                                 emulate_shards=emulate_shards)
     N, ns, nx, nu, nv, NSLP, PX, PU, PV = consts["dims"]
     nsl = consts["nsl"]
     s_hi = consts["s_hi"]

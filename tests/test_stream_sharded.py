@@ -155,3 +155,23 @@ def test_controller_mesh_stream_backend():
         np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
         ref.move_forward_in_time()
         got.move_forward_in_time()
+
+
+def test_emulate_shards_on_1device_mesh():
+    """emulate_shards=N on a 1-device mesh executes the N-way program
+    structure (K1a split + psum + XLA tail) and is bit-identical to
+    the plain streaming kernel — the on-chip overhead row of the
+    ladder (bench_ladder.sharded_stream_row) relies on this."""
+    from rapidnet_tpu.ops import pallas_stream
+    from rapidnet_tpu.ops.pallas_stream_sharded import \
+        make_apg_stream_sharded
+    from rapidnet_tpu.parallel import make_mesh
+
+    cfg, eng, fa, step = _problem([2, 2], 4)
+    kw = _kw(cfg)
+    ref = pallas_stream.make_apg_stream(fa, **kw)(step)
+    out = make_apg_stream_sharded(make_mesh(1), fa, emulate_shards=2,
+                                  **kw)(step)
+    for k in ("control", "u", "x", "v"):
+        a, b = np.asarray(ref[k]), np.asarray(out[k])
+        assert np.abs(a - b).max() == 0.0, k

@@ -144,3 +144,23 @@ def test_compile_stream_sharded_1chip_requires_2():
     cfg, eng, fa, step = _problem()
     with pytest.raises(ValueError):
         make_apg_stream_sharded(make_mesh(1), fa, **_kw(cfg))
+
+
+def test_compile_stream_sharded_emulated_on_chip():
+    """The sharded streaming program (K1a kernel + psum + XLA tail +
+    K2 kernel inside shard_map) COMPILES and matches the plain
+    streaming kernel on one real chip via emulate_shards=2 — the
+    exact program a 2-chip mesh would run, minus the ICI hop."""
+    from rapidnet_tpu.ops import pallas_stream
+    from rapidnet_tpu.ops.pallas_stream_sharded import \
+        make_apg_stream_sharded
+    from rapidnet_tpu.parallel import make_mesh
+
+    cfg, eng, fa, step = _problem()
+    kw = _kw(cfg)
+    ref = pallas_stream.make_apg_stream(fa, **kw)(step)
+    out = make_apg_stream_sharded(make_mesh(1), fa, emulate_shards=2,
+                                  **kw)(step)
+    _close(jax.tree.map(np.asarray, ref),
+           jax.tree.map(np.asarray, out), keys=("control", "u", "x"),
+           tol=1e-4)
