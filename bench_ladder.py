@@ -121,6 +121,21 @@ def _solver(cfg, eng, fa, *, batch=None, dual_dtype=None,
 
     kw = _solver_kw(cfg)
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if backend in ("fbe_stream", "nama_stream", "fbe_xla", "nama_xla"):
+        # config-5 quasi-Newton rows (VERDICT r3 task 3 acceptance:
+        # LADDER rows for streaming FBE/NAMA beating their XLA path)
+        algo = ("globalFbeAlgorithm" if backend.startswith("fbe")
+                else "namaAlgorithm")
+        if backend.endswith("_stream"):
+            from rapidnet_tpu.solver.qn_stream import make_qn_stream
+            run = make_qn_stream(fa, algorithm=algo,
+                                 lbfgs_buffer_size=5, **kw)
+            return (lambda steps: run(steps)), "pallas-stream-qn"
+        from rapidnet_tpu.solver import quasi_newton
+        jr = jax.jit(quasi_newton.make_solver(
+            algorithm=algo, lbfgs_buffer_size=5,
+            prefix_stages=eng.factor_step().prefix_stages, **kw))
+        return (lambda steps: jr(fa, steps)), "xla"
     if backend in ("stream", "stream_fused"):
         # streaming grid-over-stages kernels (large trees whose working
         # set exceeds VMEM — config 5's regime; ops/pallas_stream.py):
@@ -406,6 +421,11 @@ def main(argv=None):
     ap.add_argument("--skip-device-scaling", action="store_true",
                     help="skip the 1/2/4/8 virtual-CPU-mesh subprocess "
                          "sweep (slow; evidence-only)")
+    ap.add_argument("--only", default=None,
+                    help="run only rows whose config name contains this "
+                         "substring and MERGE them into --out (other "
+                         "rows/fields preserved); implies "
+                         "--skip-device-scaling")
     args = ap.parse_args(argv)
     MAX_ITER = args.max_iter
     if args.device_scaling_child is not None:
@@ -423,118 +443,174 @@ def main(argv=None):
                              if hasattr(jax.devices()[0], "device_kind")
                              else jax.devices()[0])}
     rows = []
+    only = args.only
+
+    def want(name):
+        return only is None or only in name
 
     # 1: deterministic toy, CPU path mandated by BASELINE
-    if jax.default_backend() == "cpu":
-        rows.append(run_config("1_toy_deterministic_H8_cpu",
-                               (3, 6, 4, 2), 8, [1], rep, tune=False)[0])
-    else:  # measure on-chip as well; CPU-path variant covered in tests
-        rows.append(run_config("1_toy_deterministic_H8",
-                               (3, 6, 4, 2), 8, [1], rep, tune=False)[0])
+    name1 = ("1_toy_deterministic_H8_cpu"
+             if jax.default_backend() == "cpu"
+             else "1_toy_deterministic_H8")
+    if want(name1):
+        rows.append(run_config(name1, (3, 6, 4, 2), 8, [1], rep,
+                               tune=False)[0])
     # 2: small binary tree, H=12
-    rows.append(run_config("2_binary_tree_H12", (3, 6, 4, 2), 12, [2],
-                           rep, tune=False)[0])
+    if want("2_binary_tree_H12"):
+        rows.append(run_config("2_binary_tree_H12", (3, 6, 4, 2), 12,
+                               [2], rep, tune=False)[0])
     # 3: Barcelona-subset, ~100-node tree, H=24
-    rows.append(run_config("3_barcelona_subset_100node_H24",
-                           (20, 35, 25, 5), 24, [4], rep)[0])
+    if want("3_barcelona_subset_100node_H24"):
+        rows.append(run_config("3_barcelona_subset_100node_H24",
+                               (20, 35, 25, 5), 24, [4], rep)[0])
     # 3R: REAL Barcelona-scale data (controllerConfig32.json +
     # scenarioTree32.json; real cost/preconditioner/penalties/tree,
     # synthetic topology — see _build_real)
-    try:
-        from rapidnet_tpu.io import datasource
-        if datasource.available():
-            rows.append(run_config(
-                "3R_barcelona_REAL_136node_H24", None, 24, None, rep,
-                problem=_build_real(),
-                data="real tree/costs/precnd/state; "
-                     "synthetic topology")[0])
-    except Exception as exc:  # noqa: BLE001
-        rows.append({"config": "3R_barcelona_REAL_136node_H24",
-                     "error": str(exc)[:300]})
+    if want("3R_barcelona_REAL_136node_H24"):
+        try:
+            from rapidnet_tpu.io import datasource
+            if datasource.available():
+                rows.append(run_config(
+                    "3R_barcelona_REAL_136node_H24", None, 24, None,
+                    rep, problem=_build_real(),
+                    data="real tree/costs/precnd/state; "
+                         "synthetic topology")[0])
+        except Exception as exc:  # noqa: BLE001
+            rows.append({"config": "3R_barcelona_REAL_136node_H24",
+                         "error": str(exc)[:300]})
     # 4: Barcelona-scale, 556-node tree — single and batched
-    r4, prob4 = run_config("4_barcelona_556node_H24",
-                           (63, 114, 88, 17), 24, [5, 5], rep)
-    rows.append(r4)
-    rows.append(run_config("4_barcelona_556node_H24_batch16",
-                           (63, 114, 88, 17), 24, [5, 5], rep, batch=16,
-                           problem=prob4)[0])
+    r4 = prob4 = None
+    if want("4_barcelona_556node_H24"):
+        r4, prob4 = run_config("4_barcelona_556node_H24",
+                               (63, 114, 88, 17), 24, [5, 5], rep)
+        rows.append(r4)
+    if want("4_barcelona_556node_H24_batch16"):
+        rows.append(run_config("4_barcelona_556node_H24_batch16",
+                               (63, 114, 88, 17), 24, [5, 5], rep,
+                               batch=16, problem=prob4)[0])
     # 5: 1024-scenario tree (one build reused across the variants)
     rep5 = max(2, rep // 2)
-    r5, prob5 = run_config("5_1024scenario_H24", *_cfg5_args(), rep5)
-    rows.append(r5)
+    r5 = prob5 = None
+
+    def get_prob5():
+        nonlocal prob5
+        if prob5 is None:
+            prob5 = _build(*CONFIG5["dims"], CONFIG5["N"],
+                           CONFIG5["branching"], max_iter=MAX_ITER)
+        return prob5
+
+    if want("5_1024scenario_H24"):
+        r5, prob5 = run_config("5_1024scenario_H24", *_cfg5_args(),
+                               rep5)
+        rows.append(r5)
     # 5b: bf16 Nesterov-momentum storage (HBM-traffic variant,
     # docs/roofline.md — the config-5 regime is bandwidth-bound)
-    rows.append(run_config("5_1024scenario_H24_bf16z", *_cfg5_args(),
-                           rep5, dual_dtype="bfloat16",
-                           problem=prob5)[0])
+    if want("5_1024scenario_H24_bf16z"):
+        rows.append(run_config("5_1024scenario_H24_bf16z",
+                               *_cfg5_args(), rep5,
+                               dual_dtype="bfloat16",
+                               problem=get_prob5())[0])
     # 5s: streaming grid-over-stages Pallas kernel (the working set
     # exceeds VMEM at this scale; ops/pallas_stream.py)
-    try:
-        rows.append(run_config("5_1024scenario_H24_stream",
-                               *_cfg5_args(), rep5, backend="stream",
-                               problem=prob5)[0])
-    except Exception as exc:  # noqa: BLE001
-        rows.append({"config": "5_1024scenario_H24_stream",
-                     "error": str(exc)[:300]})
+    if want("5_1024scenario_H24_stream"):
+        try:
+            rows.append(run_config("5_1024scenario_H24_stream",
+                                   *_cfg5_args(), rep5,
+                                   backend="stream",
+                                   problem=get_prob5())[0])
+        except Exception as exc:  # noqa: BLE001
+            rows.append({"config": "5_1024scenario_H24_stream",
+                         "error": str(exc)[:300]})
     # 5f: fused single-pallas_call streaming variant (opt-in:
     # RAPIDNET_LADDER_FUSED=1 — its config-5 remote Mosaic compile is
     # the round-4 tunnel-wedge suspect; see tools/bench_r4_stream.py)
-    try:
-        if os.environ.get("RAPIDNET_LADDER_FUSED") != "1":
-            raise RuntimeError("skipped (RAPIDNET_LADDER_FUSED != 1)")
-        rows.append(run_config("5_1024scenario_H24_stream_fused",
-                               *_cfg5_args(), rep5,
-                               backend="stream_fused",
-                               problem=prob5)[0])
-    except Exception as exc:  # noqa: BLE001
-        rows.append({"config": "5_1024scenario_H24_stream_fused",
-                     "error": str(exc)[:300]})
+    if want("5_1024scenario_H24_stream_fused"):
+        try:
+            if os.environ.get("RAPIDNET_LADDER_FUSED") != "1":
+                raise RuntimeError("skipped (RAPIDNET_LADDER_FUSED != 1)")
+            rows.append(run_config("5_1024scenario_H24_stream_fused",
+                                   *_cfg5_args(), rep5,
+                                   backend="stream_fused",
+                                   problem=get_prob5())[0])
+        except Exception as exc:  # noqa: BLE001
+            rows.append({"config": "5_1024scenario_H24_stream_fused",
+                         "error": str(exc)[:300]})
     # 5h: HALF-width tree (512 scenarios) on the streaming kernel —
     # the per-shard workload of a 2-device sharded-stream config-5
     # solve (one real chip only; the virtual-mesh tier validates the
     # sharded program, this row measures its per-shard compute)
-    try:
-        half = dict(CONFIG5)
-        half["branching"] = [8, 8, 4, 2]
-        rows.append(run_config(
-            "5h_512scenario_H24_stream_halfwidth",
-            half["dims"], half["N"], half["branching"], rep5,
-            backend="stream")[0])
-    except Exception as exc:  # noqa: BLE001
-        rows.append({"config": "5h_512scenario_H24_stream_halfwidth",
-                     "error": str(exc)[:300]})
+    if want("5h_512scenario_H24_stream_halfwidth"):
+        try:
+            half = dict(CONFIG5)
+            half["branching"] = [8, 8, 4, 2]
+            rows.append(run_config(
+                "5h_512scenario_H24_stream_halfwidth",
+                half["dims"], half["N"], half["branching"], rep5,
+                backend="stream")[0])
+        except Exception as exc:  # noqa: BLE001
+            rows.append({"config": "5h_512scenario_H24_stream_halfwidth",
+                         "error": str(exc)[:300]})
     # 5c: same solve through shard_map on a 1-device mesh
     # (quantifies shard_map overhead on the real chip)
-    try:
-        rows.append(sharded_overhead_row(prob5, rep5))
-    except Exception as exc:  # noqa: BLE001
-        rows.append({"config": "5_1024scenario_H24_shardmap_1dev",
-                     "error": str(exc)[:300]})
+    if want("5_1024scenario_H24_shardmap_1dev"):
+        try:
+            rows.append(sharded_overhead_row(get_prob5(), rep5))
+        except Exception as exc:  # noqa: BLE001
+            rows.append({"config": "5_1024scenario_H24_shardmap_1dev",
+                         "error": str(exc)[:300]})
     # 5cs: per-shard streaming kernels inside shard_map, 1-device mesh
     # (the multi-chip fast path of VERDICT r3 task 2, on-chip)
-    try:
-        rows.append(sharded_stream_row(prob5, rep5))
-    except Exception as exc:  # noqa: BLE001
-        rows.append({"config": "5_1024scenario_H24_shardmap_stream_1dev",
-                     "error": str(exc)[:300]})
+    if want("5_1024scenario_H24_shardmap_stream_1dev"):
+        try:
+            rows.append(sharded_stream_row(get_prob5(), rep5))
+        except Exception as exc:  # noqa: BLE001
+            rows.append(
+                {"config": "5_1024scenario_H24_shardmap_stream_1dev",
+                 "error": str(exc)[:300]})
+    # 5q: config-5 quasi-Newton rows (streaming vs XLA) are measured
+    # by tools/bench_r4_qn.py (slow compiles, so they don't gate this
+    # artifact) and merged into LADDER.json by
+    # tools/merge_qn_ladder.py; the fbe_stream/nama_stream backends in
+    # _solver support ad-hoc runs.
     # scenario-weak-scaling efficiency: per-scenario solve rate at
     # ns=1024 vs ns=25 (config 4) on the same chip
-    eff = ((r5["scenarios"] / r5["p50_ms"]) /
-           (r4["scenarios"] / r4["p50_ms"]))
-    results["weak_scaling_1024_vs_25_scenarios"] = round(float(eff), 3)
+    if r4 is not None and r5 is not None:
+        eff = ((r5["scenarios"] / r5["p50_ms"]) /
+               (r4["scenarios"] / r4["p50_ms"]))
+        results["weak_scaling_1024_vs_25_scenarios"] = round(float(eff), 3)
     for r in rows:
         if r.get("batch") == 1 and "p50_ms" in r:
             r["marginal_ms"] = round(max(r["p50_ms"] - transport_ms,
                                          0.0), 3)
     ladder_regression_check(rows, args.out)
+    if only is not None:
+        # merge mode: update/append only the measured rows, preserve
+        # everything else (incl. device_scaling) from the existing file
+        try:
+            with open(args.out) as f:
+                prev = json.load(f)
+        except Exception:  # noqa: BLE001
+            prev = {"rows": []}
+        by_cfg = {r.get("config"): i
+                  for i, r in enumerate(prev.get("rows", []))}
+        for r in rows:
+            if r.get("config") in by_cfg:
+                prev["rows"][by_cfg[r["config"]]] = r
+            else:
+                prev["rows"].append(r)
+        prev.update({k: v for k, v in results.items() if k != "rows"})
+        with open(args.out, "w") as f:
+            json.dump(prev, f, indent=1)
+        print(json.dumps({"ladder": "merged", "rows": len(rows)}))
+        return 0
     results["rows"] = rows
     if not args.skip_device_scaling:
         results["device_scaling"] = device_scaling_table()
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps({"ladder": "done",
-                      "weak_scaling_eff": results[
-                          "weak_scaling_1024_vs_25_scenarios"]}))
+                      "weak_scaling_eff": results.get(
+                          "weak_scaling_1024_vs_25_scenarios")}))
     return 0
 
 
