@@ -170,7 +170,11 @@ def measure(repeats=REPEATS, include_qn=True):
             per.append((time.perf_counter() - t0) / k)
         return float(np.median(per))
 
-    batch_pipe_p50 = time_batch_pipelined(batch_candidates[batch_best])
+    # (pipelining exists to overlap the per-dispatch transport latency;
+    # on the in-process CPU path there is none and batch-32 CPU solves
+    # are ~40 s each — skip the extra 13 solves there)
+    batch_pipe_p50 = (time_batch_pipelined(batch_candidates[batch_best])
+                      if on_tpu else batch_p50)
 
     # Per-algorithm batched throughput at the same 500-iteration budget
     # (the reference treats APG/FBE/NAMA uniformly behind one dispatch,

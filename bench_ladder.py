@@ -593,15 +593,30 @@ def main(argv=None):
             prev = {"rows": []}
         by_cfg = {r.get("config"): i
                   for i, r in enumerate(prev.get("rows", []))}
+        merged = 0
         for r in rows:
-            if r.get("config") in by_cfg:
-                prev["rows"][by_cfg[r["config"]]] = r
+            i = by_cfg.get(r.get("config"))
+            if "error" in r and i is not None and \
+                    "p50_ms" in prev["rows"][i]:
+                # never clobber a measured row with an error/skip row
+                print(f"[ladder] keeping measured {r['config']} over "
+                      f"error row: {r['error'][:80]}", file=sys.stderr)
+                continue
+            # merged rows were measured under THIS session's transport
+            # latency; the file-level transport_ms stays the original
+            # session's, so stamp the row with its own
+            if "p50_ms" in r:
+                r["transport_ms"] = round(transport_ms, 3)
+            if i is not None:
+                prev["rows"][i] = r
             else:
                 prev["rows"].append(r)
-        prev.update({k: v for k, v in results.items() if k != "rows"})
+            merged += 1
+        prev.update({k: v for k, v in results.items()
+                     if k not in ("rows", "transport_ms")})
         with open(args.out, "w") as f:
             json.dump(prev, f, indent=1)
-        print(json.dumps({"ladder": "merged", "rows": len(rows)}))
+        print(json.dumps({"ladder": "merged", "rows": merged}))
         return 0
     results["rows"] = rows
     if not args.skip_device_scaling:

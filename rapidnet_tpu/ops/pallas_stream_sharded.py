@@ -117,6 +117,15 @@ def pack_stream_sharded(fa: dict, n_shards: int,
     block."""
     base = pack_stream_constants(fa)      # validates rank-1 structure
     N, ns, nx, nu, nv, _NSP, PX, PU, PV = base["dims"]
+    if emulate_shards is not None:
+        # classification must be at least as conservative as the real
+        # split: emulated blocks must nest inside real shard blocks,
+        # else a stage spanning two real shards could be marked local
+        # and its aggregation silently dropped
+        if emulate_shards < n_shards or emulate_shards % n_shards != 0:
+            raise ValueError(
+                f"emulate_shards={emulate_shards} must be a multiple "
+                f"of (and >=) the mesh's {n_shards} shards")
     cls = analyze_prefix_locality(fa, emulate_shards or n_shards)
     info = {"s_hi": cls["s_hi"], "local": cls["local"],
             "cross": cls["cross"], "nsl": ns // n_shards}
@@ -222,7 +231,10 @@ def make_apg_stream_sharded(mesh, fa: dict, *, inv_step: float,
     structure of an N-way-sharded solve on a smaller (e.g. 1-device)
     mesh for overhead measurement."""
     if interpret == "auto":
-        interpret = jax.devices()[0].platform == "cpu"
+        # resolve from the MESH devices, not the default platform: a
+        # CPU mesh on a session whose default device is a TPU (the
+        # dryrun fallback) must interpret, and vice versa
+        interpret = mesh.devices.flat[0].platform == "cpu"
     axis = mesh.axis_names[0]
     n_shards = int(np.prod(mesh.devices.shape))
     consts = pack_stream_sharded(fa, n_shards,

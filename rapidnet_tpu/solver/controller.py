@@ -215,54 +215,59 @@ class SmpcController:
         multi-chip path; the XLA shard_map solve is the general
         fallback (all three algorithms, tolerance support)."""
         cfg = self.config
-        if cfg.algorithm == ALGORITHM_APG and self.tolerance is None:
-            want = self.backend == "stream"
-            if self.backend == "auto":
-                on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
-                if on_tpu:
+        if self.tolerance is None:
+            # one parameterized dispatch for all three algorithms:
+            # (whole-solve-fits check, streaming factory)
+            if cfg.algorithm == ALGORITHM_APG:
+                def fits_whole(fa):
                     from rapidnet_tpu.ops import pallas_apg
-                    want = not pallas_apg.fits_vmem(
-                        pallas_apg.pad_constants(self._fa))
-            if want:
-                try:
+                    return pallas_apg.fits_vmem(
+                        pallas_apg.pad_constants(fa))
+
+                def factory(fa, kw):
                     from rapidnet_tpu.ops.pallas_stream_sharded import \
                         make_apg_stream_sharded
-                    self._solver = make_apg_stream_sharded(
-                        self.mesh, self._fa,
-                        inv_step=float(1.0 / cfg.step_size),
-                        step_size=float(cfg.step_size),
-                        penalty_state=float(cfg.penalty_state),
-                        penalty_safety=float(cfg.penalty_safety),
-                        xs_upper=float(XS_UPPER),
-                        max_iterations=int(cfg.max_iterations))
-                    self._use_stream = True
-                    return
-                except ValueError:
-                    if self.backend == "stream":
-                        raise
-        elif (cfg.algorithm in (ALGORITHM_FBE, ALGORITHM_NAMA)
-              and self.tolerance is None):
+                    return make_apg_stream_sharded(self.mesh, fa, **kw)
+            else:
+                def fits_whole(fa):
+                    from rapidnet_tpu.ops import pallas_qn
+                    return pallas_qn.fits_vmem_qn(
+                        pallas_qn.pad_qn_constants(fa),
+                        int(cfg.lbfgs_buffer_size))
+
+                def factory(fa, kw):
+                    from rapidnet_tpu.solver import qn_stream
+                    return qn_stream.make_qn_stream(
+                        fa, algorithm=cfg.algorithm,
+                        lbfgs_buffer_size=int(cfg.lbfgs_buffer_size),
+                        mesh=self.mesh, **kw)
+
             want = self.backend == "stream"
             if self.backend == "auto":
                 on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
-                if on_tpu:
-                    from rapidnet_tpu.ops import pallas_qn
-                    want = not pallas_qn.fits_vmem_qn(
-                        pallas_qn.pad_qn_constants(self._fa),
-                        int(cfg.lbfgs_buffer_size))
+                want = on_tpu and not fits_whole(self._fa)
+                if want:
+                    # the streaming kernels' own per-stage blocks must
+                    # fit their VMEM budget too — a tree beyond that
+                    # must keep the XLA shard_map path rather than fail
+                    # at Mosaic compile time (mirrors the single-device
+                    # auto gate in _pick_pallas)
+                    try:
+                        from rapidnet_tpu.ops import pallas_stream
+                        want = pallas_stream.fits_vmem_stream(
+                            pallas_stream.pack_stream_constants(
+                                self._fa))
+                    except ValueError:
+                        want = False
             if want:
                 try:
-                    from rapidnet_tpu.solver import qn_stream
-                    self._solver = qn_stream.make_qn_stream(
-                        self._fa, algorithm=cfg.algorithm,
-                        lbfgs_buffer_size=int(cfg.lbfgs_buffer_size),
-                        mesh=self.mesh,
+                    self._solver = factory(self._fa, dict(
                         inv_step=float(1.0 / cfg.step_size),
                         step_size=float(cfg.step_size),
                         penalty_state=float(cfg.penalty_state),
                         penalty_safety=float(cfg.penalty_safety),
                         xs_upper=float(XS_UPPER),
-                        max_iterations=int(cfg.max_iterations))
+                        max_iterations=int(cfg.max_iterations)))
                     self._use_stream = True
                     return
                 except ValueError:

@@ -103,6 +103,10 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
         from rapidnet_tpu.ops.pallas_stream_sharded import (
             make_sharded_sweeps, pack_stream_sharded)
         axis = mesh.axis_names[0]
+        if interpret == "auto":
+            # resolve from the MESH devices, not the default platform
+            # (a CPU mesh under a TPU-default session must interpret)
+            interpret = mesh.devices.flat[0].platform == "cpu"
         n_shards = int(np.prod(mesh.devices.shape))
         consts = pack_stream_sharded(fa, n_shards)
         N, ns, nx, nu, nv, NSLP, PX, PU, PV = consts["dims"]
