@@ -52,28 +52,39 @@ def main():
         cfg.current_x.shape))).astype(np.float32)
     step = make_step(x0)
 
+    # Precision relaxation trial: Mosaic's dot lowering supports only
+    # DEFAULT (bf16x1) and HIGHEST (bf16x6) — Precision.HIGH (bf16x3)
+    # raises NotImplementedError (measured this session), so the
+    # roofline's "selective relaxation" candidate is DEFAULT, gated on
+    # the ctrl_rel_dev_vs_ref parity column.
     variants = [
         ("stream2_highest", pallas_stream.make_apg_stream, "highest"),
-        ("stream2_high", pallas_stream.make_apg_stream, "high"),
+        ("stream2_default", pallas_stream.make_apg_stream, "default"),
     ]
     if not args.skip_fused:
         # fused LAST: its config-5 remote compile is the wedge suspect
         variants += [
             ("fused_highest", pallas_stream.make_apg_stream_fused,
              "highest"),
-            ("fused_high", pallas_stream.make_apg_stream_fused,
-             "high"),
+            ("fused_default", pallas_stream.make_apg_stream_fused,
+             "default"),
         ]
 
     ref_u = None
     rows = []
     for name, factory, prec in variants:
-        run = factory(fa, precision=prec, **kw)
-        arg = jax.device_put(step)
-        jax.block_until_ready(arg)
-        t0 = time.perf_counter()
-        out = jax.block_until_ready(run(arg))
-        compile_s = time.perf_counter() - t0
+        try:
+            run = factory(fa, precision=prec, **kw)
+            arg = jax.device_put(step)
+            jax.block_until_ready(arg)
+            t0 = time.perf_counter()
+            out = jax.block_until_ready(run(arg))
+            compile_s = time.perf_counter() - t0
+        except Exception as exc:  # noqa: BLE001 — record, keep going
+            row = {"variant": name, "error": repr(exc)[:300]}
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+            continue
         u = np.asarray(out["control"])
         if ref_u is None:
             ref_u = u
@@ -95,7 +106,8 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    best = min(rows, key=lambda r: r["p50_ms"])
+    best = min((r for r in rows if "p50_ms" in r),
+               key=lambda r: r["p50_ms"])
     print(json.dumps({"summary": True, "nodes": int(tree.n_nodes),
                       "scenarios": int(tree.ns), "iters": args.iters,
                       "best": best["variant"],
