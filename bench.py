@@ -354,12 +354,17 @@ def regression_check(result: dict) -> None:
               f"({delta * 100:+.1f}%){flag}", file=sys.stderr)
 
 
-def device_executes(timeout_s: float = 240.0) -> bool:
+def device_executes(timeout_s: float = 540.0) -> bool:
     """Probe (in a subprocess) that the default device actually
     EXECUTES — on the axon tunnel a wedged remote session still
     enumerates devices but blocks forever on the first execution,
     which would hang the whole bench.  The probe is sacrificial:
-    killing it mid-hang cannot wedge an already-wedged session."""
+    killing it mid-hang cannot wedge an already-wedged session.
+
+    Timeout is generous on purpose: a HEALTHY session's first
+    execution right after a heavy client disconnects was measured at
+    ~226 s (session-claim handoff), so a 240 s probe false-positives
+    and sends the whole bench to the CPU fallback."""
     code = ("import jax, jax.numpy as jnp;"
             "print(float(jnp.ones(4).sum()))")
     try:

@@ -22,7 +22,13 @@ REPO = os.path.dirname(HERE)
 
 
 def run_probe(pythonpath, repeats, cpu=False):
-    env = dict(os.environ, PYTHONPATH=pythonpath)
+    # PREPEND the variant's repo to PYTHONPATH — replacing it drops
+    # /root/.axon_site, whose sitecustomize registers the axon backend
+    # (without it every on-chip probe dies with "Backend 'axon' is not
+    # in the list of known backends"; measured 02:10 this session)
+    inherited = os.environ.get("PYTHONPATH", "")
+    pp = pythonpath + (os.pathsep + inherited if inherited else "")
+    env = dict(os.environ, PYTHONPATH=pp)
     if cpu:
         env["RAPIDNET_AB_CPU"] = "1"
     cp = subprocess.run(
