@@ -89,7 +89,8 @@ class SmpcController:
                  warm_start: bool = False,
                  tolerance: Optional[float] = None,
                  backend: str = "auto",
-                 mesh=None):
+                 mesh=None,
+                 stream_precision: str = "highest"):
         """backend: 'auto' | 'xla' | 'pallas'.  'auto' picks the fused
         whole-solve Pallas kernel (ops/pallas_apg.py for APG,
         ops/pallas_qn.py for FBE/NAMA) for fixed-budget solves on a TPU
@@ -100,11 +101,24 @@ class SmpcController:
         closed loop then runs the scenario-axis-sharded shard_map solve
         (all three algorithms) over the mesh, e.g. a multi-host pod
         slice built by ``parallel.distributed.scenario_mesh()``.
+
+        stream_precision: MXU dot precision for the STREAMING kernels
+        (>VMEM trees): 'highest' (bf16x6 — reference-cuBLAS f32 parity,
+        the default) or 'default' (bf16x1 — measured 5% faster at the
+        1024-scenario config with a 1.5e-3 relative control deviation
+        after 500 iterations; docs/roofline.md).  Mosaic supports no
+        middle tier ('high' raises at compile).
         """
         if isinstance(config, str):
             config = SmpcConfig.from_json(config)
         if backend not in ("auto", "xla", "pallas", "stream"):
             raise ValueError(f"unknown backend '{backend}'")
+        if stream_precision not in ("highest", "default"):
+            raise ValueError(
+                f"stream_precision must be 'highest' or 'default' "
+                f"(Mosaic lowers no other dot precision), got "
+                f"'{stream_precision}'")
+        self.stream_precision = stream_precision
         if mesh is not None:
             if backend == "pallas":
                 raise ValueError(
@@ -163,13 +177,14 @@ class SmpcController:
                 if cfg.algorithm == ALGORITHM_APG:
                     from rapidnet_tpu.ops import pallas_stream
                     self._solver = pallas_stream.make_apg_stream(
-                        self._fa, **p_kw)
+                        self._fa, precision=self.stream_precision,
+                        **p_kw)
                 else:
                     from rapidnet_tpu.solver import qn_stream
                     self._solver = qn_stream.make_qn_stream(
                         self._fa, algorithm=cfg.algorithm,
                         lbfgs_buffer_size=int(cfg.lbfgs_buffer_size),
-                        **p_kw)
+                        precision=self.stream_precision, **p_kw)
             elif cfg.algorithm == ALGORITHM_APG:
                 from rapidnet_tpu.ops import pallas_apg
                 self._solver = pallas_apg.make_apg_pallas(self._fa, **p_kw)
@@ -227,7 +242,9 @@ class SmpcController:
                 def factory(fa, kw):
                     from rapidnet_tpu.ops.pallas_stream_sharded import \
                         make_apg_stream_sharded
-                    return make_apg_stream_sharded(self.mesh, fa, **kw)
+                    return make_apg_stream_sharded(
+                        self.mesh, fa,
+                        precision=self.stream_precision, **kw)
             else:
                 def fits_whole(fa):
                     from rapidnet_tpu.ops import pallas_qn
@@ -240,7 +257,8 @@ class SmpcController:
                     return qn_stream.make_qn_stream(
                         fa, algorithm=cfg.algorithm,
                         lbfgs_buffer_size=int(cfg.lbfgs_buffer_size),
-                        mesh=self.mesh, **kw)
+                        mesh=self.mesh,
+                        precision=self.stream_precision, **kw)
 
             want = self.backend == "stream"
             if self.backend == "auto":

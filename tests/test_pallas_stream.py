@@ -269,3 +269,26 @@ def test_stream_vmem_estimate_scales_and_gates():
     assert pallas_stream.vmem_bytes_stream(wide) > 32 * bytes_small
     assert not pallas_stream.fits_vmem_stream(
         wide, budget=40 * bytes_small)
+
+
+@requires_reference
+def test_controller_stream_precision_knob():
+    """stream_precision='default' plumbs through to the streaming
+    kernel (on CPU interpret mode DEFAULT and HIGHEST are numerically
+    identical, so the closed loop must match exactly); invalid values
+    reject at construction (Mosaic lowers no middle tier)."""
+    import pytest
+
+    from rapidnet_tpu.model.config import SmpcConfig
+    from rapidnet_tpu.solver.controller import SmpcController
+
+    def build(**kw):
+        cfg = SmpcConfig.from_json(fixture_path("controllerConfig.json"))
+        cfg.max_iterations = 40
+        return SmpcController(cfg, backend="stream", **kw)
+
+    with pytest.raises(ValueError, match="stream_precision"):
+        build(stream_precision="high")
+    a = build(stream_precision="highest").control_action(0)
+    b = build(stream_precision="default").control_action(0)
+    np.testing.assert_allclose(b, a, rtol=0, atol=0)
