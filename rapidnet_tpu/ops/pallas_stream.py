@@ -224,7 +224,8 @@ def make_apg_stream(fa: dict, *, inv_step: float, step_size: float,
                     project_control: bool = True,
                     interpret: bool | str = "auto",
                     precision: str | lax.Precision =
-                        lax.Precision.HIGHEST):
+                        lax.Precision.HIGHEST,
+                    consts: dict | None = None):
     """Streaming-kernel APG solve: run(step, y0=None) -> solver outputs.
 
     Same output contract as solver/apg.make_apg (control, x, u, v, y,
@@ -233,12 +234,18 @@ def make_apg_stream(fa: dict, *, inv_step: float, step_size: float,
 
     ``precision``: MXU pass count for the in-kernel matmuls.  HIGHEST
     (default, bf16x6) matches the XLA path bit-for-bit in the golden
-    tests; HIGH (bf16x3) is the measured-parity relaxation candidate
-    (see docs/roofline.md).
+    tests; DEFAULT (bf16x1) is the measured 5%-faster relaxation at a
+    1.5e-3 relative control deviation (see docs/roofline.md; Mosaic
+    lowers no middle tier — HIGH raises at compile).
+
+    ``consts``: a precomputed ``pack_stream_constants(fa)`` result, so
+    a caller that already packed to run the VMEM gate does not pay the
+    tens-of-MB transpose/pad pass twice.
     """
     if interpret == "auto":
         interpret = jax.devices()[0].platform == "cpu"
-    consts = pack_stream_constants(fa)
+    if consts is None:
+        consts = pack_stream_constants(fa)
     N, ns, nx, nu, nv, NSP, PX, PU, PV = consts["dims"]
     Rmax = consts["Rmax"]
     prefix_stages = consts["prefix_stages"]

@@ -129,6 +129,7 @@ class SmpcController:
         self.backend = backend
         self._use_pallas = False
         self._use_stream = False
+        self._stream_consts = None     # packed-once streaming constants
         self.warm_start = warm_start
         self.tolerance = tolerance
         self._y_carry = None
@@ -178,13 +179,14 @@ class SmpcController:
                     from rapidnet_tpu.ops import pallas_stream
                     self._solver = pallas_stream.make_apg_stream(
                         self._fa, precision=self.stream_precision,
-                        **p_kw)
+                        consts=self._stream_consts, **p_kw)
                 else:
                     from rapidnet_tpu.solver import qn_stream
                     self._solver = qn_stream.make_qn_stream(
                         self._fa, algorithm=cfg.algorithm,
                         lbfgs_buffer_size=int(cfg.lbfgs_buffer_size),
-                        precision=self.stream_precision, **p_kw)
+                        precision=self.stream_precision,
+                        consts=self._stream_consts, **p_kw)
             elif cfg.algorithm == ALGORITHM_APG:
                 from rapidnet_tpu.ops import pallas_apg
                 self._solver = pallas_apg.make_apg_pallas(self._fa, **p_kw)
@@ -356,6 +358,7 @@ class SmpcController:
                 sc = pallas_stream.pack_stream_constants(self._fa)
                 if pallas_stream.fits_vmem_stream(sc):
                     self._use_stream = True
+                    self._stream_consts = sc   # reuse in initialise()
             except ValueError:
                 pass
             return False
@@ -372,6 +375,7 @@ class SmpcController:
             sc = pallas_stream.pack_stream_constants(self._fa)
             if pallas_stream.fits_vmem_stream(sc):
                 self._use_stream = True
+                self._stream_consts = sc       # reuse in initialise()
         except ValueError:
             pass
         return False

@@ -62,13 +62,17 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
                    interpret: bool | str = "auto",
                    mesh=None,
                    precision: str | lax.Precision =
-                       lax.Precision.HIGHEST):
+                       lax.Precision.HIGHEST,
+                   consts: dict | None = None):
     """Build the streaming FBE/NAMA solve: run(step, y0=None) -> outputs.
 
     Output contract matches quasi_newton.make_solver (control, x, u, v,
     y{xi,psi}, primal_infeasibility, value_fbe, tau, iterations).
     ``mesh``: optional 1-D scenario mesh — per-shard streaming kernels
     with psum'd scalars (see module docstring).
+    ``consts``: precomputed ``pack_stream_constants(fa)`` (single-device
+    path only) — avoids repacking when the caller already packed for
+    the VMEM gate.
     """
     is_fbe = algorithm == ALGORITHM_FBE
     if not is_fbe and algorithm != ALGORITHM_NAMA:
@@ -84,7 +88,8 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
 
     # ---------------- layout + sweeps (single-dev or sharded) --------
     if mesh is None:
-        consts = stream.pack_stream_constants(fa)
+        if consts is None:
+            consts = stream.pack_stream_constants(fa)
         N, ns, nx, nu, nv, NSP, PX, PU, PV = consts["dims"]
         NG = NSP                           # global padded lane width
         axis = None
