@@ -603,17 +603,20 @@ def main(argv=None):
                       f"error row: {r['error'][:80]}", file=sys.stderr)
                 continue
             # merged rows were measured under THIS session's transport
-            # latency; the file-level transport_ms stays the original
-            # session's, so stamp the row with its own
+            # latency/backend/device; the file-level metadata stays the
+            # original session's, so stamp each row with its own
             if "p50_ms" in r:
                 r["transport_ms"] = round(transport_ms, 3)
+                r["backend"] = results["backend"]
+                r["device"] = results["device"]
             if i is not None:
                 prev["rows"][i] = r
             else:
                 prev["rows"].append(r)
             merged += 1
-        prev.update({k: v for k, v in results.items()
-                     if k not in ("rows", "transport_ms")})
+        # preserve ALL original file-level metadata (backend, device,
+        # transport_ms, device_scaling): most rows still come from the
+        # original session — per-row stamps above carry this session's
         with open(args.out, "w") as f:
             json.dump(prev, f, indent=1)
         print(json.dumps({"ladder": "merged", "rows": merged}))

@@ -190,6 +190,36 @@ def fits_vmem_stream(consts: dict,
     return vmem_bytes_stream(consts) <= budget
 
 
+def estimate_stream_dims(fa: dict, n_shards: int = 1) -> dict:
+    """Shape-only estimate of the streaming pack's dims/Rmax — enough
+    to run :func:`fits_vmem_stream` without paying the tens-of-MB
+    transpose/pad pass of :func:`pack_stream_constants`.
+
+    ``n_shards > 1`` sizes the PER-SHARD lane block (``NSLP``): the
+    sharded streaming kernels (ops/pallas_stream_sharded.py) stream
+    per-shard blocks, so gating an n-chip mesh on the full-tree lane
+    width would be ~n× too conservative and silently route exactly the
+    very-large trees the multi-chip fast path exists for onto the
+    slower XLA shard_map path.  Rank-1 structure is NOT validated here
+    — the factory's own pack still raises ValueError for
+    non-streamable factor dicts (callers in auto mode catch it and
+    fall back to XLA)."""
+    N, ns, nx = np.asarray(fa["d1"]).shape
+    nu = np.asarray(fa["g"]).shape[-1]
+    nv = np.asarray(fa["invWbar"]).shape[0]
+    nsl = -(-ns // max(int(n_shards), 1))         # ceil
+    NSLP = _pad(nsl, LANE)
+    PX, PU, PV = _pad(nx, SUB), _pad(nu, SUB), _pad(nv, SUB)
+    stages = tuple(sorted(fa["prefix_Cp"].keys(), reverse=True))
+    if stages:
+        Rmax = _pad(max(np.asarray(fa["prefix_Cp"][s]).shape[0]
+                        for s in stages), LANE)
+    else:
+        Rmax = LANE
+    return {"dims": (N, ns, nx, nu, nv, NSLP, PX, PU, PV),
+            "Rmax": Rmax, "prefix_stages": stages}
+
+
 def _to_t(a, NSP, P):
     """(N, ns, d) -> padded stage-major transposed (N, P, NSP)."""
     a = jnp.asarray(a, jnp.float32)

@@ -271,14 +271,19 @@ class SmpcController:
                     # fit their VMEM budget too — a tree beyond that
                     # must keep the XLA shard_map path rather than fail
                     # at Mosaic compile time (mirrors the single-device
-                    # auto gate in _pick_pallas)
-                    try:
-                        from rapidnet_tpu.ops import pallas_stream
-                        want = pallas_stream.fits_vmem_stream(
-                            pallas_stream.pack_stream_constants(
-                                self._fa))
-                    except ValueError:
-                        want = False
+                    # auto gate in _pick_pallas).  Gate on the
+                    # PER-SHARD lane width via the shape-only
+                    # estimator: the sharded kernels stream per-shard
+                    # blocks, and the full-tree pack here would be both
+                    # ~n_shards× too conservative and a wasted
+                    # tens-of-MB transpose pass (ADVICE r4).  A
+                    # non-streamable factor dict is caught below: the
+                    # factory's pack raises ValueError → XLA fallback.
+                    from rapidnet_tpu.ops import pallas_stream
+                    n_shards = int(np.prod(self.mesh.devices.shape))
+                    want = pallas_stream.fits_vmem_stream(
+                        pallas_stream.estimate_stream_dims(
+                            self._fa, n_shards))
             if want:
                 try:
                     self._solver = factory(self._fa, dict(

@@ -63,7 +63,8 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
                    mesh=None,
                    precision: str | lax.Precision =
                        lax.Precision.HIGHEST,
-                   consts: dict | None = None):
+                   consts: dict | None = None,
+                   ablate: frozenset = frozenset()):
     """Build the streaming FBE/NAMA solve: run(step, y0=None) -> outputs.
 
     Output contract matches quasi_newton.make_solver (control, x, u, v,
@@ -73,7 +74,17 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
     ``consts``: precomputed ``pack_stream_constants(fa)`` (single-device
     path only) — avoids repacking when the caller already packed for
     the VMEM gate.
+    ``ablate``: TIMING-ONLY cost-attribution switches (the outputs are
+    NOT valid solves) used by tools/bench_r5_qn_ablate.py to locate the
+    per-iteration HBM budget: 'sweeps_only' (3 oracle sweep pairs +
+    dual carry, nothing else), 'no_qn' (skip value/L-BFGS/line search),
+    'no_lbfgs' (direction = -yvec, buffer and two-loop skipped),
+    'no_ls' (single tau=1 application instead of the trial loop).
     """
+    ablate = frozenset(ablate)
+    bad = ablate - {"sweeps_only", "no_qn", "no_lbfgs", "no_ls"}
+    if bad:
+        raise ValueError(f"unknown ablate flags {sorted(bad)}")
     is_fbe = algorithm == ALGORITHM_FBE
     if not is_fbe and algorithm != ALGORITHM_NAMA:
         raise ValueError(f"unknown quasi-Newton algorithm {algorithm}")
@@ -397,6 +408,15 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
         w = carry["w"]
         sol = solve(cd, sp, w)
         prim = sol["prim"]
+        if "sweeps_only" in ablate:   # timing floor: 3 sweep pairs
+            h1 = linmap(cd, prim)
+            h2 = linmap(cd, h1["prim"])
+            y_new = _axpy(step_c, h2["prim"], w)
+            new_carry = dict(carry)
+            new_carry.update(y=y_new, y_prev=carry["y"], w=y_new,
+                             x=sol["x"], u=sol["u"], v=sol["v"])
+            return new_carry, (jnp.float32(0.0), jnp.float32(0.0),
+                               jnp.float32(0.0))
         dual, value_g = prox_t(cd, bd, prim, w)
         res = {k: prim[k] - dual[k] for k in KEYS}
 
@@ -414,10 +434,19 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
             state, lb = args
             value = value_fbe_t(cd, sp, state["w"], state["u"],
                                 state["res"], state["value_g"])
-            lb_new, lbfgs_dir = lbfgs_update_and_direction(
-                cd, lb, carry["y"], carry["y_prev"], yvec,
-                carry["yvec_prev"])
-            if is_fbe:
+            if "no_lbfgs" in ablate:
+                lb_new, lbfgs_dir = lb, {k: -yvec[k] for k in KEYS}
+            else:
+                lb_new, lbfgs_dir = lbfgs_update_and_direction(
+                    cd, lb, carry["y"], carry["y_prev"], yvec,
+                    carry["yvec_prev"])
+            if "no_ls" in ablate:
+                h = linmap(cd, lbfgs_dir)
+                dirs = {"x": h["x"], "u": h["u"], "prim": h["prim"]}
+                st, _ = ls_apply(cd, bd, sp, state, lbfgs_dir, dirs,
+                                 jnp.float32(1.0))
+                tau = jnp.float32(1.0)
+            elif is_fbe:
                 st, tau = fbe_line_search(cd, bd, sp, state, yvec,
                                           lbfgs_dir, value)
             else:
@@ -429,8 +458,11 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
             state, lb = args
             return state, lb, jnp.float32(0.0), jnp.float32(0.0)
 
-        state, lb, tau, value = lax.cond(
-            it > 0, with_qn, without_qn, (state, carry["lbfgs"]))
+        if "no_qn" in ablate:
+            state, lb, tau, value = without_qn((state, carry["lbfgs"]))
+        else:
+            state, lb, tau, value = lax.cond(
+                it > 0, with_qn, without_qn, (state, carry["lbfgs"]))
 
         y_new = _axpy(step_c, state["res"], state["w"])
         infeas = signed_champion(state["res"])

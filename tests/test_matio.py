@@ -34,12 +34,14 @@ def test_read_mat_variables():
     np.testing.assert_allclose(m["DemandData"][0, 0], 0.0042116095,
                                rtol=1e-6)
     S, P = m["S"], m["P"]
-    assert int(S["nx"]) == 3 and int(S["nu"]) == 6 and int(S["nd"]) == 4
+    assert (int(S["nx"].ravel()[0]) == 3 and
+            int(S["nu"].ravel()[0]) == 6 and
+            int(S["nd"].ravel()[0]) == 4)
     np.testing.assert_allclose(S["A"], np.eye(3))
     np.testing.assert_allclose(S["xmax"].ravel(), [470.0, 960.0, 3100.0])
     np.testing.assert_allclose(P["xs"].ravel(), [42.0, 18.0, 270.0])
     assert P["alpha2"].shape == (8760, 6)
-    np.testing.assert_allclose(float(P["beta"]), 0.8)
+    np.testing.assert_allclose(float(P["beta"].ravel()[0]), 0.8)
     # integer-stored matrices decode with correct dims and column order
     assert S["B"].shape == (3, 6) and S["E"].shape == (2, 6)
     assert S["Ed"].shape == (2, 4) and S["Gd"].shape == (3, 4)

@@ -271,6 +271,43 @@ def test_stream_vmem_estimate_scales_and_gates():
         wide, budget=40 * bytes_small)
 
 
+def test_stream_shape_only_estimator_matches_pack_and_shards():
+    """estimate_stream_dims (the no-pack gate) agrees with the real
+    pack single-device, and shrinks with the per-shard lane width —
+    the sharded auto gate must size the PER-SHARD block, not the full
+    tree (ADVICE r4: an n-chip mesh gated on the full tree is ~n× too
+    conservative)."""
+    from rapidnet_tpu.engine.engine import Engine
+    from rapidnet_tpu.model.config import synthetic_config
+    from rapidnet_tpu.model.network import synthetic_network
+    from rapidnet_tpu.model.scenario_tree import generate_tree
+    from rapidnet_tpu.ops import pallas_stream
+    from rapidnet_tpu.solver.controller import _factor_arrays
+
+    net = synthetic_network(nx=4, nu=7, nd=3, ne=2, seed=3)
+    tree = generate_tree(N=6, branching=[2, 2], nd=3, nu=7, seed=3)
+    cfg = synthetic_config(net, tree, max_iterations=5)
+    fa = _factor_arrays(Engine(net, tree, cfg))
+    packed = pallas_stream.pack_stream_constants(fa)
+    est = pallas_stream.estimate_stream_dims(fa, 1)
+    assert est["dims"] == packed["dims"]
+    assert est["Rmax"] == packed["Rmax"]
+    assert est["prefix_stages"] == packed["prefix_stages"]
+    assert (pallas_stream.vmem_bytes_stream(est) ==
+            pallas_stream.vmem_bytes_stream(packed))
+    # per-shard gating (shape-only, so a fake wide fa suffices):
+    # 1024 scenarios over 8 shards -> 128-lane blocks, and the
+    # NSP-dependent terms must shrink accordingly
+    fa_big = {"d1": np.zeros((6, 1024, 4)), "g": np.zeros((6, 1024, 7)),
+              "invWbar": np.zeros((5, 5)),
+              "prefix_Cp": {1: np.zeros((8, 1024))}}
+    b1 = pallas_stream.vmem_bytes_stream(
+        pallas_stream.estimate_stream_dims(fa_big, 1))
+    b8 = pallas_stream.vmem_bytes_stream(
+        pallas_stream.estimate_stream_dims(fa_big, 8))
+    assert b8 < b1 / 4
+
+
 @requires_reference
 def test_controller_stream_precision_knob():
     """stream_precision='default' plumbs through to the streaming

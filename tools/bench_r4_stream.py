@@ -106,12 +106,15 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    best = min((r for r in rows if "p50_ms" in r),
-               key=lambda r: r["p50_ms"])
+    ok = [r for r in rows if "p50_ms" in r]
+    best = min(ok, key=lambda r: r["p50_ms"]) if ok else None
     print(json.dumps({"summary": True, "nodes": int(tree.n_nodes),
                       "scenarios": int(tree.ns), "iters": args.iters,
-                      "best": best["variant"],
-                      "best_p50_ms": best["p50_ms"]}), flush=True)
+                      "best": best["variant"] if best else None,
+                      "best_p50_ms": best["p50_ms"] if best else None,
+                      "errors": len(rows) - len(ok)}), flush=True)
+    if not ok:
+        raise SystemExit("every variant errored — no timing rows")
 
 
 if __name__ == "__main__":

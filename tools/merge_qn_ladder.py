@@ -56,6 +56,13 @@ def main():
     with open(args.ladder, "w") as f:
         json.dump(ladder, f, indent=1)
     print(f"[merge_qn_ladder] wrote {args.ladder}")
+    # keep docs/performance.md's generated table in sync with the rows
+    # just merged (the docstring's "regenerate the doc table" step)
+    import subprocess
+    import sys
+    subprocess.run([sys.executable,
+                    os.path.join(here, "tools", "gen_perf_table.py")],
+                   check=True)
 
 
 if __name__ == "__main__":
