@@ -12,10 +12,44 @@ solver/quasi_newton.py, re-laid-out for the >VMEM tree regime
   oracle(s), src/SmpcController.cu:563-755 and :884-1055) run as
   streaming Pallas kernel pairs (ops/pallas_stream_qn.py) that keep
   each stage's working set in VMEM;
-* prox, FBE value, L-BFGS two-loop and the backtracking line searches
-  stay in XLA directly on the transposed slabs (elementwise/reduction
-  work — the preconditioner diagonals and bounds are reconstructed by
-  rank-1 broadcast instead of materialised, exactly like the kernels).
+* everything between the sweeps is organised to touch HBM as little
+  as possible (the round-4 verdict measured this path at ~9x its
+  traffic floor; round 5 restructures it):
+
+  - **prox/residual/value by scalar identities.**  The prox of g is a
+    box clip plus a two-norm shrink whose scalars couple all stages;
+    instead of materialising the dual slab and three chained reduction
+    rounds (r4), ONE fused reduction pass computes the per-group
+    clip-distance norms, the shrink factors and value-of-g follow as
+    scalars (``g_k = shrink_k*diff_k`` exactly — the shrunk point
+    never re-enters its box, so ``||g_k|| = shrink_k*dist_k``), and a
+    single elementwise pass writes the residual slab with the FBE
+    value's residual dots fused into it.  (The residual dots are NOT
+    expanded in clip-distance/w dots: res is the small difference of
+    c-scaled large terms and the expansion cancels catastrophically
+    at c = 1/step.)
+  - **Gram-matrix L-BFGS.**  The reference two-loop recursion
+    (src/SmpcController.cu:1182-1232) walks the buffer column by
+    column — 8*mem slab passes per iteration.  Here the two-loop runs
+    on COEFFICIENTS in the span {s_1..s_m, y_1..y_m, grad}: the
+    pairwise Gram blocks are carried and updated incrementally (one
+    row/column per accepted update), the per-iteration buffer work is
+    one dot sweep (buffer x [s, y, grad]) plus one weighted
+    combination — two buffer passes total, and the direction's
+    directional derivative <grad, dir> falls out of the coefficients
+    for free.  ``lbfgs_dtype=bfloat16`` halves the buffer traffic
+    (the buffer stores DIFFERENCES, the same bounded-relative-error
+    argument as the bf16-z momentum storage, docs/roofline.md).
+  - **Reduction-only line search.**  The cumulative backtracking loop
+    (src/SmpcController.cu:1280-1315) evaluated and materialised full
+    trial states in r4; along the fixed search direction the value at
+    cumulative trial tau (the reference applies INCREMENTS on top of
+    the previous trial — evaluation points 1, 0.5, 0.25, ...) needs
+    only two chained reduction passes (clip-distance norms -> shrink
+    scalars -> direct residual dots) plus smoothness/economic
+    tau-polynomials precomputed once, with no slab writes; the
+    accepted (or last-evaluated — reference semantics) tau is
+    materialised once after the loop.
 
 With ``mesh=`` the same solve runs scenario-sharded: each shard
 streams its own block (ops/pallas_stream_sharded.make_sharded_sweeps —
@@ -64,6 +98,7 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
                    precision: str | lax.Precision =
                        lax.Precision.HIGHEST,
                    consts: dict | None = None,
+                   lbfgs_dtype=jnp.float32,
                    ablate: frozenset = frozenset()):
     """Build the streaming FBE/NAMA solve: run(step, y0=None) -> outputs.
 
@@ -74,6 +109,11 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
     ``consts``: precomputed ``pack_stream_constants(fa)`` (single-device
     path only) — avoids repacking when the caller already packed for
     the VMEM gate.
+    ``lbfgs_dtype``: storage dtype of the L-BFGS s/y history slabs.
+    float32 (default) matches the XLA path's numerics; bfloat16 halves
+    the dominant buffer traffic at a small direction perturbation that
+    the value-guarded line search absorbs (a documented speed knob,
+    like ``stream_precision``).
     ``ablate``: TIMING-ONLY cost-attribution switches (the outputs are
     NOT valid solves) used by tools/bench_r5_qn_ablate.py to locate the
     per-iteration HBM budget: 'sweeps_only' (3 oracle sweep pairs +
@@ -95,6 +135,7 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
     t2c = float(inv_step * penalty_safety)
     xs_up = float(xs_upper)
     f32 = jnp.float32
+    nb = lbfgs_dtype
     MM = jax.lax.Precision.HIGHEST
 
     # ---------------- layout + sweeps (single-dev or sharded) --------
@@ -171,9 +212,6 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
     def _psum(x):
         return x if axis is None else lax.psum(x, axis)
 
-    def mdot(a, b, rep):
-        return _psum(jnp.sum(rep * a * b))
-
     def ddot(a, b, rep):
         return _psum(sum(jnp.sum(rep * a[k] * b[k]) for k in KEYS))
 
@@ -183,48 +221,73 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
                 "lo2": cd["bx_s"] * sq,
                 "lop": cd["bu_min"] * sq, "hip": cd["bu_max"] * sq}
 
-    # ---------------- prox of g on transposed slabs ----------------
-    def prox_t(cd, bd, prim, w):
-        """proximalFunG (src/SmpcController.cu:759-835) in the
-        transposed layout; identical op set/order to solve_step.prox_g."""
-        rep = cd["rep"]
-        pre1 = prim["y1"] + c * w["y1"]
-        pre2 = prim["y2"] + c * w["y2"]
-        prep = prim["yp"] + c * w["yp"]
-        box1 = jnp.clip(pre1, bd["lo1"], bd["hi1"])
-        box2 = jnp.clip(pre2, bd["lo2"], xs_up)
-        diff1 = pre1 - box1
-        diff2 = pre2 - box2
-        dist1 = jnp.sqrt(mdot(diff1, diff1, rep))
-        shrink1 = jnp.where(dist1 > t1c,
-                            1.0 - t1c / jnp.maximum(dist1, 1e-30), 0.0)
-        out1 = box1 + shrink1 * diff1
-        dist2 = jnp.sqrt(mdot(diff2, diff2, rep))
-        shrink2 = jnp.where(dist2 > t2c,
-                            1.0 - t2c / jnp.maximum(dist2, 1e-30), 0.0)
-        out2 = box2 + shrink2 * diff2
-        outp = jnp.clip(prep, bd["lop"], bd["hip"])
-        g1 = out1 - jnp.clip(out1, bd["lo1"], bd["hi1"])
-        g2 = out2 - jnp.clip(out2, bd["lo2"], xs_up)
-        gd1 = jnp.sqrt(mdot(g1, g1, rep))
-        gd2 = jnp.sqrt(mdot(g2, g2, rep))
-        value_g = (jnp.where(shrink1 > 0, penalty_state * gd1, 0.0) +
-                   jnp.where(shrink2 > 0, penalty_safety * gd2, 0.0))
-        return {"y1": out1, "y2": out2, "yp": outp}, value_g
+    def _group_bounds(bd):
+        return {"y1": (bd["lo1"], bd["hi1"]),
+                "y2": (bd["lo2"], xs_up),
+                "yp": (bd["lop"], bd["hip"])}
 
-    # ---------------- FBE value ----------------
-    def value_fbe_t(cd, sp, w, u, res, value_g):
-        """computeValueFbe (src/SmpcController.cu:1417-1476)."""
+    # ---------------- fused prox/value scalars ----------------
+    def diff_dots(cd, bd, prim, w):
+        """ONE fused reduction pass over (prim, w): per-key prox
+        clip-distance dots (proximalFunG, src/SmpcController.cu:759-835
+        — see module docstring for the identities).  Only ||diff||^2 is
+        needed: the shrink scalars and value-of-g follow stably (no
+        cancellation — dist is a direct norm).  The residual dots of
+        the FBE value are NOT expanded in these (res is the small
+        difference of c-scaled large terms; expanding <res,res> in
+        c^2 <w,w> loses ~5 f32 digits at c = 1e4) — they are taken
+        directly on the elementwise residual."""
         rep = cd["rep"]
-        val = ddot(w, res, rep) + 0.5 * step_c * ddot(res, res, rep)
-        val = val + value_g
-        du0 = u[0] - sp["prev_u_col"]           # (PU, lanes)
+        gb = _group_bounds(bd)
+        out = {}
+        for k in KEYS:
+            lo, hi = gb[k]
+            pre = prim[k] + c * w[k]
+            diff = pre - jnp.clip(pre, lo, hi)
+            out["dd_" + k] = _psum(jnp.sum(rep * diff * diff))
+        return out
+
+    def shrink_scalars(sc):
+        """Two-norm shrink factors + value of g from the diff dots
+        (g_k = shrink_k * diff_k exactly, so ||g_k|| = shrink_k *
+        dist_k — no second reduction round)."""
+        dist1 = jnp.sqrt(sc["dd_y1"])
+        s1 = jnp.where(dist1 > t1c,
+                       1.0 - t1c / jnp.maximum(dist1, 1e-30), 0.0)
+        dist2 = jnp.sqrt(sc["dd_y2"])
+        s2 = jnp.where(dist2 > t2c,
+                       1.0 - t2c / jnp.maximum(dist2, 1e-30), 0.0)
+        value_g = (jnp.where(s1 > 0, penalty_state * s1 * dist1, 0.0) +
+                   jnp.where(s2 > 0, penalty_safety * s2 * dist2, 0.0))
+        shr = {"y1": s1, "y2": s2, "yp": jnp.float32(0.0)}
+        return shr, value_g
+
+    def res_slabs(cd, bd, prim, w, shr):
+        """The prox step's only slab materialisation:
+        res = prim - (box + shrink*diff) (computeFixedPointResidual,
+        src/SmpcController.cu:839-850) — the same float grouping as
+        the XLA path's prim - dual, so the rounding profile matches
+        the calibrated parity tests."""
+        gb = _group_bounds(bd)
+        res = {}
+        for k in KEYS:
+            lo, hi = gb[k]
+            pre = prim[k] + c * w[k]
+            box = jnp.clip(pre, lo, hi)
+            res[k] = prim[k] - (box + shr[k] * (pre - box))
+        return res
+
+    def smooth_econ(cd, sp, u):
+        """f-terms of the FBE value (computeValueFbe,
+        src/SmpcController.cu:1417-1476) on a (N, PU, lanes) slab."""
+        rep = cd["rep"]
+        du0 = u[0] - sp["prev_u_col"]
         du = jnp.concatenate([du0[None], u[1:] - u[:-1]], axis=0)
         Wdu = jnp.einsum("ij,njs->nis", cd["W"], du, precision=MM)
         p = cd["sq"] * cd["sq"]                 # node probability
         smooth = _psum(jnp.sum(rep * (p * du) * Wdu))
         econ = _psum(jnp.sum(rep * (p * u) * sp["alpha_t"]))
-        return val + smooth + econ
+        return smooth + econ
 
     # ---------------- oracles ----------------
     def solve(cd, sp, w):
@@ -242,20 +305,50 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
         return {"v": v, "x": x, "u": u,
                 "prim": {"y1": p1, "y2": p2, "yp": pp}}
 
-    # ---------------- L-BFGS (generalised keys) ----------------
+    # ---------------- L-BFGS: Gram-matrix two-loop ----------------
     def lbfgs_update_and_direction(cd, lb, y, y_prev, yvec, yvec_prev):
         """updateLbfgsBuffer + twoLoopRecursionLbfgs
-        (src/SmpcController.cu:1103-1232) — same scheme as
-        quasi_newton.lbfgs_update_and_direction, transposed triple."""
+        (src/SmpcController.cu:1103-1232), Gram form: same update and
+        acceptance scheme as quasi_newton.lbfgs_update_and_direction;
+        the two-loop runs on span coefficients, so the buffer is
+        touched twice per iteration (dot sweep here, weighted
+        combination in :func:`direction`)."""
         rep = cd["rep"]
-        s = {k: y[k] - y_prev[k] for k in KEYS}
-        yv = {k: yvec[k] - yvec_prev[k] for k in KEYS}
-        norm_grad = jnp.sqrt(ddot(yvec, yvec, rep))
-        inv_rho = ddot(s, yv, rep)
-        norm_y2 = ddot(yv, yv, rep)
-        norm_s2 = ddot(s, s, rep)
+        # differences, rounded to the storage dtype FIRST so the Gram
+        # entries describe exactly what the buffer holds
+        s = {k: (y[k] - y_prev[k]).astype(nb) for k in KEYS}
+        yv = {k: (yvec[k] - yvec_prev[k]).astype(nb) for k in KEYS}
 
-        norm_grad = jnp.where(norm_grad < 1.0, norm_grad ** 3, norm_grad)
+        zsc = jnp.zeros((n_cols,), f32)
+        dSs = dSy = dSg = dYs = dYy = dYg = zsc
+        norm_s2 = inv_rho = norm_y2 = gg = gs_self = gy_self = f32(0.0)
+        for k in KEYS:
+            ms, my = lb["mat_s"][k], lb["mat_y"][k]
+            rs = rep * s[k]
+            ry = rep * yv[k]
+            rg = rep * yvec[k]
+            # buffer-column dots against [s, yv, grad] — sibling
+            # reductions over the same operands, one fused sweep
+            dSs = dSs + jnp.einsum("mnps,nps->m", ms, rs, precision=MM)
+            dSy = dSy + jnp.einsum("mnps,nps->m", ms, ry, precision=MM)
+            dSg = dSg + jnp.einsum("mnps,nps->m", ms, rg, precision=MM)
+            dYs = dYs + jnp.einsum("mnps,nps->m", my, rs, precision=MM)
+            dYy = dYy + jnp.einsum("mnps,nps->m", my, ry, precision=MM)
+            dYg = dYg + jnp.einsum("mnps,nps->m", my, rg, precision=MM)
+            norm_s2 = norm_s2 + jnp.sum(rs * s[k])
+            inv_rho = inv_rho + jnp.sum(rs * yv[k])
+            norm_y2 = norm_y2 + jnp.sum(ry * yv[k])
+            gg = gg + jnp.sum(rg * yvec[k])
+            gs_self = gs_self + jnp.sum(rs * yvec[k])
+            gy_self = gy_self + jnp.sum(ry * yvec[k])
+        (dSs, dSy, dSg, dYs, dYy, dYg, norm_s2, inv_rho, norm_y2, gg,
+         gs_self, gy_self) = [_psum(v) for v in (
+             dSs, dSy, dSg, dYs, dYy, dYg, norm_s2, inv_rho, norm_y2,
+             gg, gs_self, gy_self)]
+
+        norm_grad = jnp.sqrt(gg)
+        norm_grad = jnp.where(norm_grad < 1.0, norm_grad ** 3,
+                              norm_grad)
         accept = inv_rho / jnp.maximum(norm_s2, 1e-30) > 1e-6 * norm_grad
 
         col_new = 1 + (lb["col"] % lbfgs_buffer_size)
@@ -263,79 +356,178 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
         mem = jnp.where(accept,
                         jnp.minimum(lb["mem"] + 1, lbfgs_buffer_size),
                         lb["mem"])
-        mat_s = {k: jnp.where(accept,
-                              lb["mat_s"][k].at[col_new].set(s[k]),
-                              lb["mat_s"][k]) for k in KEYS}
-        mat_y = {k: jnp.where(accept,
-                              lb["mat_y"][k].at[col_new].set(yv[k]),
-                              lb["mat_y"][k]) for k in KEYS}
-        rho = jnp.where(accept,
-                        lb["rho"].at[col_new].set(1.0 / inv_rho),
-                        lb["rho"])
+
+        def put_col(mat, v):
+            # predicated single-column write (never a full-buffer
+            # select: column 0 must stay zero and rejected updates
+            # must not touch the history)
+            old = mat[col_new]
+            return mat.at[col_new].set(jnp.where(accept, v, old))
+
+        mat_s = {k: put_col(lb["mat_s"][k], s[k]) for k in KEYS}
+        mat_y = {k: put_col(lb["mat_y"][k], yv[k]) for k in KEYS}
+        rho = lb["rho"].at[col_new].set(
+            jnp.where(accept, 1.0 / inv_rho, lb["rho"][col_new]))
         skips = lb["skips"] + jnp.where(accept, 0, 1)
         gamma = inv_rho / jnp.maximum(norm_y2, 1e-30)
         hessian = jnp.where(
             (gamma < 0) | (jnp.abs(gamma - lb["hessian"]) == 0),
             1.0, gamma)
 
-        d = {k: -yvec[k] for k in KEYS}
+        # incremental Gram update: one new row/column per accept
+        def upd_sym(G, vec, diag):
+            v = vec.at[col_new].set(diag)
+            Gn = G.at[col_new, :].set(v).at[:, col_new].set(v)
+            return jnp.where(accept, Gn, G)
 
+        Gss = upd_sym(lb["Gss"], dSs, norm_s2)
+        Gyy = upd_sym(lb["Gyy"], dYy, norm_y2)
+        rowv = dYs.at[col_new].set(inv_rho)   # <s_new, y_j>
+        colv = dSy.at[col_new].set(inv_rho)   # <s_i, y_new>
+        Gsy_n = (lb["Gsy"].at[col_new, :].set(rowv)
+                 .at[:, col_new].set(colv))
+        Gsy = jnp.where(accept, Gsy_n, lb["Gsy"])
+        gs_vec = jnp.where(accept, dSg.at[col_new].set(gs_self), dSg)
+        gy_vec = jnp.where(accept, dYg.at[col_new].set(gy_self), dYg)
+
+        # two-loop recursion on span coefficients (dir = -grad)
         def loop1(i, carry):
-            d, alphas = carry
+            cs, cy, cg, alphas = carry
             icol = col - i
             icol = jnp.where(icol < 0, mem + icol, icol)
-            sk = {k: mat_s[k][icol] for k in KEYS}
-            yk = {k: mat_y[k][icol] for k in KEYS}
-            a = rho[icol] * ddot(sk, d, rep)
-            d = {k: d[k] - a * yk[k] for k in KEYS}
-            return d, alphas.at[icol].set(a)
+            sd = (Gss[icol] @ cs + Gsy[icol] @ cy + cg * gs_vec[icol])
+            a = rho[icol] * sd
+            cy = cy.at[icol].add(-a)
+            return cs, cy, cg, alphas.at[icol].set(a)
 
-        d, alphas = lax.fori_loop(
-            0, mem, loop1, (d, jnp.zeros((n_cols,), f32)))
-        d = {k: hessian * d[k] for k in KEYS}
+        cs, cy, cg, alphas = lax.fori_loop(
+            0, mem, loop1, (zsc, zsc, f32(-1.0), zsc))
+        cs, cy, cg = hessian * cs, hessian * cy, hessian * cg
 
-        def loop2(j, d):
+        def loop2(j, carry):
+            cs, cy, cg = carry
             i = mem - j
             icol = col - i + 1
             icol = jnp.where(icol < 0, mem + icol, icol)
-            sk = {k: mat_s[k][icol] for k in KEYS}
-            yk = {k: mat_y[k][icol] for k in KEYS}
-            b = rho[icol] * ddot(yk, d, rep)
-            scale = alphas[icol] - b
-            return {k: d[k] + scale * sk[k] for k in KEYS}
+            yd = (Gsy[:, icol] @ cs + Gyy[icol] @ cy
+                  + cg * gy_vec[icol])
+            b = rho[icol] * yd
+            cs = cs.at[icol].add(alphas[icol] - b)
+            return cs, cy, cg
 
-        d = lax.fori_loop(0, mem, loop2, d)
+        cs, cy, cg = lax.fori_loop(0, mem, loop2, (cs, cy, cg))
         lb_new = {"mat_s": mat_s, "mat_y": mat_y, "rho": rho,
                   "col": col, "mem": mem, "skips": skips,
-                  "hessian": hessian}
-        return lb_new, d
+                  "hessian": hessian, "Gss": Gss, "Gsy": Gsy,
+                  "Gyy": Gyy}
+        return lb_new, (cs, cy, cg), (gs_vec, gy_vec, gg)
 
-    # ---------------- line search ----------------
-    def ls_apply(cd, bd, sp, state, w_dir, dirs, tau):
-        x = state["x"] + tau * dirs["x"]
-        u = state["u"] + tau * dirs["u"]
-        w = _axpy(tau, w_dir, state["w"])
-        prim = _axpy(tau, dirs["prim"], state["prim"])
-        dual, value_g = prox_t(cd, bd, prim, w)
-        res = {k: prim[k] - dual[k] for k in KEYS}
-        val = value_fbe_t(cd, sp, w, u, res, value_g)
-        return {"x": x, "u": u, "w": w, "prim": prim, "dual": dual,
-                "res": res, "value_g": value_g}, val
+    def direction(lb, coef, g, g_extra=0.0):
+        """Materialise dir = sum_i cs_i s_i + sum_i cy_i y_i +
+        (cg + g_extra) * g — the second (and last) buffer pass.
+        ``g_extra=step`` builds NAMA's combined direction
+        d - step*res = d + step*grad directly (grad = -res)."""
+        cs, cy, cg = coef
+        out = {}
+        for k in KEYS:
+            out[k] = (jnp.einsum("m,mnps->nps", cs, lb["mat_s"][k],
+                                 precision=MM)
+                      + jnp.einsum("m,mnps->nps", cy, lb["mat_y"][k],
+                                   precision=MM)
+                      + (cg + g_extra) * g[k])
+        return out
 
-    def tau_line_search(cd, bd, sp, state, w_dir, dirs, value_ref,
-                        direction_value):
+    # ---------------- reduction-only line search ----------------
+    def _ls_quadratics(cd, sp, base, u_dir):
+        """tau-independent scalars of val(tau): the smoothness/economic
+        tau-polynomials (benign expansions — no large-term
+        cancellation, unlike the residual dots)."""
+        rep = cd["rep"]
+        u0 = base["u"]
+        du0 = jnp.concatenate([(u0[0] - sp["prev_u_col"])[None],
+                               u0[1:] - u0[:-1]], axis=0)
+        dud = jnp.concatenate([u_dir[0][None],
+                               u_dir[1:] - u_dir[:-1]], axis=0)
+        p = cd["sq"] * cd["sq"]
+        Wd0 = jnp.einsum("ij,njs->nis", cd["W"], du0, precision=MM)
+        Wdd = jnp.einsum("ij,njs->nis", cd["W"], dud, precision=MM)
+        s0 = _psum(jnp.sum(rep * (p * du0) * Wd0))
+        s1 = _psum(jnp.sum(rep * (p * du0) * Wdd) +
+                   jnp.sum(rep * (p * dud) * Wd0))
+        s2 = _psum(jnp.sum(rep * (p * dud) * Wdd))
+        e0 = _psum(jnp.sum(rep * (p * u0) * sp["alpha_t"]))
+        e1 = _psum(jnp.sum(rep * (p * u_dir) * sp["alpha_t"]))
+        return (s0, s1, s2, e0, e1)
+
+    def _ls_value_at(cd, bd, base, w_dir, p_dir, fq, tau):
+        """val(tau) in TWO chained reduction passes (no slab writes):
+        clip-distance dots -> shrink scalars -> direct residual dots
+        (the residual must be dotted elementwise, see diff_dots)."""
+        rep = cd["rep"]
+        gb = _group_bounds(bd)
+        sc = {}
+        for k in KEYS:
+            lo, hi = gb[k]
+            w_t = base["w"][k] + tau * w_dir[k]
+            pre = base["prim"][k] + tau * p_dir[k] + c * w_t
+            diff = pre - jnp.clip(pre, lo, hi)
+            sc["dd_" + k] = _psum(jnp.sum(rep * diff * diff))
+        shr, value_g = shrink_scalars(sc)
+        wr = f32(0.0)
+        rr = f32(0.0)
+        for k in KEYS:
+            lo, hi = gb[k]
+            w_t = base["w"][k] + tau * w_dir[k]
+            prim_t = base["prim"][k] + tau * p_dir[k]
+            pre = prim_t + c * w_t
+            box = jnp.clip(pre, lo, hi)
+            res_t = prim_t - (box + shr[k] * (pre - box))
+            wr = wr + jnp.sum(rep * w_t * res_t)
+            rr = rr + jnp.sum(rep * res_t * res_t)
+        wr = _psum(wr)
+        rr = _psum(rr)
+        s0, s1, s2, e0, e1 = fq
+        f_tau = s0 + tau * s1 + tau * tau * s2 + e0 + tau * e1
+        val = wr + 0.5 * step_c * rr + value_g + f_tau
+        return val, shr["y1"], shr["y2"]
+
+    def _ls_materialise(cd, bd, base, w_dir, p_dir, dirs, shr, tau):
+        """Apply tau once: x, u, w_t and the residual at tau."""
+        gb = _group_bounds(bd)
+        x = base["x"] + tau * dirs["x"]
+        u = base["u"] + tau * dirs["u"]
+        w_t, res = {}, {}
+        for k in KEYS:
+            lo, hi = gb[k]
+            wt = base["w"][k] + tau * w_dir[k]
+            prim_t = base["prim"][k] + tau * p_dir[k]
+            pre = prim_t + c * wt
+            box = jnp.clip(pre, lo, hi)
+            w_t[k] = wt
+            res[k] = prim_t - (box + shr[k] * (pre - box))
+        return x, u, w_t, res
+
+    def tau_search_apply(cd, bd, base, w_dir, p_dir, dirs, fq,
+                         value_ref, direction_value):
         """Cumulative backtracking tau loop
-        (src/SmpcController.cu:1280-1315) — quasi_newton.tau_line_search
-        verbatim on the transposed state.  On a mesh every compared
-        scalar is a psum, so all shards branch identically."""
+        (src/SmpcController.cu:1280-1315) — reference semantics
+        incl. keeping the last (possibly worsening) trial applied; on
+        a mesh every compared scalar is a psum, so all shards branch
+        identically.  Returns (x, u, y_new, infeas, tau)."""
 
         def cond(carry):
-            istep, tau, st, val = carry
-            return istep < LS_MAX_STEPS + 1
+            return carry[0] < LS_MAX_STEPS + 1
 
         def body(carry):
-            istep, tau, st, _ = carry
-            st_new, val = ls_apply(cd, bd, sp, st, w_dir, dirs, tau)
+            istep, tau, _, _, _ = carry
+            # the reference applies each trial's tau INCREMENT on top
+            # of the previous trial's state (cumulative backtracking);
+            # relative to the fixed base the evaluation point is the
+            # running sum T = 1, 0.5, 0.25, ... of the increments
+            T_prev = carry[2]
+            T_eval = T_prev + tau
+            val, sh1, sh2 = _ls_value_at(cd, bd, base, w_dir, p_dir,
+                                         fq, T_eval)
             improved = val <= value_ref
             istep_new = jnp.where(improved, istep + 1,
                                   jnp.int32(LS_MAX_STEPS + 1))
@@ -343,49 +535,70 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
             tau_new = jnp.where(
                 improved & (istep_new < LS_MAX_STEPS),
                 tau_base + 0.5 ** istep_new.astype(f32), tau)
-            return istep_new, tau_new, st_new, val
+            return istep_new, tau_new, T_eval, sh1, sh2
 
-        def run_ls(state):
-            init = (jnp.int32(0), jnp.float32(1.0), state,
-                    jnp.float32(0.0))
-            _, tau, st, _ = lax.while_loop(cond, body, init)
-            return st, jnp.abs(tau)
+        def run_ls(_):
+            init = (jnp.int32(0), jnp.float32(1.0), jnp.float32(0.0),
+                    jnp.float32(0.0), jnp.float32(0.0))
+            _, tau, T_eval, sh1, sh2 = lax.while_loop(cond, body, init)
+            # on every exit path the LAST EVALUATED cumulative tau
+            # equals |last increment| (the reference's reported tau and
+            # kept-applied trial state coincide the same way)
+            return jnp.abs(tau), T_eval, sh1, sh2, jnp.bool_(True)
+
+        def no_ls(_):
+            tau_rep = jnp.where(direction_value > 0,
+                                jnp.float32(1.0), jnp.float32(0.0))
+            return (tau_rep, jnp.float32(0.0), jnp.float32(0.0),
+                    jnp.float32(0.0), jnp.bool_(False))
 
         positive = direction_value > 0
         tiny = jnp.abs(direction_value) < LS_TOLERANCE
+        tau_rep, tau_eval, sh1, sh2, applied = lax.cond(
+            positive | tiny, no_ls, run_ls, None)
+        shr = {"y1": sh1, "y2": sh2, "yp": jnp.float32(0.0)}
 
-        def no_ls(state):
-            return state, jnp.where(positive, jnp.float32(1.0),
-                                    jnp.float32(0.0))
+        def apply_fn(_):
+            x, u, w_t, res = _ls_materialise(cd, bd, base, w_dir,
+                                             p_dir, dirs, shr, tau_eval)
+            return (x, u, _axpy(step_c, res, w_t),
+                    signed_champion(res))
 
-        return lax.cond(positive | tiny, no_ls, run_ls, state)
+        def keep_fn(_):
+            res0 = base["res0"]
+            return (base["x"], base["u"],
+                    _axpy(step_c, res0, base["w"]),
+                    signed_champion(res0))
 
-    def fbe_line_search(cd, bd, sp, state, grad, lbfgs_dir, value_ref):
+        x, u, y_new, infeas = lax.cond(applied, apply_fn, keep_fn, None)
+        return x, u, y_new, infeas, tau_rep
+
+    def fbe_line_search(cd, bd, sp, base, lbfgs_dir, value_ref, dval):
         """computeLineSearchLbfgsUpdate (src/SmpcController.cu:
         1250-1320)."""
         h = linmap(cd, lbfgs_dir)
-        dirs = {"x": h["x"], "u": h["u"], "prim": h["prim"]}
-        dval = ddot(grad, lbfgs_dir, cd["rep"])
-        return tau_line_search(cd, bd, sp, state, lbfgs_dir, dirs,
-                               value_ref, dval)
+        fq = _ls_quadratics(cd, sp, base, h["u"])
+        return tau_search_apply(cd, bd, base, lbfgs_dir, h["prim"],
+                                {"x": h["x"], "u": h["u"]}, fq,
+                                value_ref, dval)
 
-    def ame_line_search(cd, bd, sp, state, lbfgs_dir, value_ref):
+    def ame_line_search(cd, bd, sp, state, comb, res, value_ref, dval):
         """computeLineSearchAmeLbfgsUpdate (src/SmpcController.cu:
         1326-1414): gradient step applied unconditionally, tau loop
-        along d = lbfgsDir - step * res."""
-        res = state["res"]
-        dval = -ddot(res, lbfgs_dir, cd["rep"])
+        along comb = lbfgsDir - step * res."""
         hres = linmap(cd, res)
-        st = dict(state)
-        st["w"] = _axpy(step_c, res, state["w"])
-        st["x"] = state["x"] + step_c * hres["x"]
-        st["u"] = state["u"] + step_c * hres["u"]
-        st["prim"] = _axpy(step_c, hres["prim"], state["prim"])
-        comb = {k: lbfgs_dir[k] - step_c * res[k] for k in KEYS}
+        base = {"x": state["x"] + step_c * hres["x"],
+                "u": state["u"] + step_c * hres["u"],
+                "w": _axpy(step_c, res, state["w"]),
+                "prim": _axpy(step_c, hres["prim"], state["prim"]),
+                # the no-line-search path keeps the PRE-shift residual
+                # (reference st carries it through the shift)
+                "res0": res}
         hcomb = linmap(cd, comb)
-        dirs = {"x": hcomb["x"], "u": hcomb["u"], "prim": hcomb["prim"]}
-        return tau_line_search(cd, bd, sp, st, comb, dirs, value_ref,
-                               dval)
+        fq = _ls_quadratics(cd, sp, base, hcomb["u"])
+        return tau_search_apply(cd, bd, base, comb, hcomb["prim"],
+                                {"x": hcomb["x"], "u": hcomb["u"]},
+                                fq, value_ref, dval)
 
     # ---------------- iteration ----------------
     def signed_champion(res):
@@ -417,8 +630,9 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
                              x=sol["x"], u=sol["u"], v=sol["v"])
             return new_carry, (jnp.float32(0.0), jnp.float32(0.0),
                                jnp.float32(0.0))
-        dual, value_g = prox_t(cd, bd, prim, w)
-        res = {k: prim[k] - dual[k] for k in KEYS}
+        sc = diff_dots(cd, bd, prim, w)
+        shr, value_g = shrink_scalars(sc)
+        res = res_slabs(cd, bd, prim, w, shr)
 
         if is_fbe:
             hdir = linmap(cd, {k: -res[k] for k in KEYS})
@@ -427,49 +641,73 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
         else:
             yvec = {k: -res[k] for k in KEYS}
 
-        state = {"x": sol["x"], "u": sol["u"], "w": w, "prim": prim,
-                 "dual": dual, "res": res, "value_g": value_g}
+        base = {"x": sol["x"], "u": sol["u"], "w": w, "prim": prim,
+                "res0": res}
 
-        def with_qn(args):
-            state, lb = args
-            value = value_fbe_t(cd, sp, state["w"], state["u"],
-                                state["res"], state["value_g"])
+        def with_qn(lb):
+            rep = cd["rep"]
+            wr = ddot(w, res, rep)
+            rr = ddot(res, res, rep)
+            value = (wr + 0.5 * step_c * rr + value_g +
+                     smooth_econ(cd, sp, sol["u"]))
             if "no_lbfgs" in ablate:
-                lb_new, lbfgs_dir = lb, {k: -yvec[k] for k in KEYS}
+                lb_new = lb
+                lbfgs_dir = {k: -yvec[k] for k in KEYS}
+                dval = -ddot(yvec, yvec, cd["rep"])
+                if not is_fbe:
+                    lbfgs_dir = {k: lbfgs_dir[k] - step_c * res[k]
+                                 for k in KEYS}
             else:
-                lb_new, lbfgs_dir = lbfgs_update_and_direction(
+                lb_new, coef, gdots = lbfgs_update_and_direction(
                     cd, lb, carry["y"], carry["y_prev"], yvec,
                     carry["yvec_prev"])
+                gs_vec, gy_vec, gg = gdots
+                cs, cy, cg = coef
+                # dval = <grad, dir> (FBE) = -<res, dir> (NAMA; grad =
+                # -res) — free in the span coefficients
+                dval = (jnp.sum(cs * gs_vec) + jnp.sum(cy * gy_vec)
+                        + cg * gg)
+                lbfgs_dir = direction(
+                    lb_new, coef, yvec,
+                    g_extra=0.0 if is_fbe else step_c)
             if "no_ls" in ablate:
                 h = linmap(cd, lbfgs_dir)
-                dirs = {"x": h["x"], "u": h["u"], "prim": h["prim"]}
-                st, _ = ls_apply(cd, bd, sp, state, lbfgs_dir, dirs,
-                                 jnp.float32(1.0))
-                tau = jnp.float32(1.0)
-            elif is_fbe:
-                st, tau = fbe_line_search(cd, bd, sp, state, yvec,
-                                          lbfgs_dir, value)
+                fq = _ls_quadratics(cd, sp, base, h["u"])
+                _, sh1, sh2 = _ls_value_at(cd, bd, base, lbfgs_dir,
+                                           h["prim"], fq,
+                                           jnp.float32(1.0))
+                x, u, w_t, res_t = _ls_materialise(
+                    cd, bd, base, lbfgs_dir, h["prim"],
+                    {"x": h["x"], "u": h["u"]},
+                    {"y1": sh1, "y2": sh2, "yp": jnp.float32(0.0)},
+                    jnp.float32(1.0))
+                return (x, u, _axpy(step_c, res_t, w_t),
+                        signed_champion(res_t), lb_new,
+                        jnp.float32(1.0), value)
+            if is_fbe:
+                x, u, y_new, infeas, tau = fbe_line_search(
+                    cd, bd, sp, base, lbfgs_dir, value, dval)
             else:
-                st, tau = ame_line_search(cd, bd, sp, state, lbfgs_dir,
-                                          value)
-            return st, lb_new, tau, value
+                x, u, y_new, infeas, tau = ame_line_search(
+                    cd, bd, sp, base, lbfgs_dir, res, value, dval)
+            return x, u, y_new, infeas, lb_new, tau, value
 
-        def without_qn(args):
-            state, lb = args
-            return state, lb, jnp.float32(0.0), jnp.float32(0.0)
+        def without_qn(lb):
+            return (sol["x"], sol["u"], _axpy(step_c, res, w),
+                    signed_champion(res), lb, jnp.float32(0.0),
+                    jnp.float32(0.0))
 
         if "no_qn" in ablate:
-            state, lb, tau, value = without_qn((state, carry["lbfgs"]))
+            x, u, y_new, infeas, lb, tau, value = without_qn(
+                carry["lbfgs"])
         else:
-            state, lb, tau, value = lax.cond(
-                it > 0, with_qn, without_qn, (state, carry["lbfgs"]))
+            x, u, y_new, infeas, lb, tau, value = lax.cond(
+                it > 0, with_qn, without_qn, carry["lbfgs"])
 
-        y_new = _axpy(step_c, state["res"], state["w"])
-        infeas = signed_champion(state["res"])
         new_carry = {
             "y": y_new, "y_prev": carry["y"], "yvec_prev": yvec,
             "w": y_new, "lbfgs": lb,
-            "x": state["x"], "u": state["u"], "v": sol["v"],
+            "x": x, "u": u, "v": sol["v"],
         }
         return new_carry, (infeas, value, tau)
 
@@ -483,13 +721,16 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
         if y0 is None:
             y0 = zero
         lb0 = {
-            "mat_s": {k: jnp.zeros((n_cols,) + zero[k].shape, f32)
+            "mat_s": {k: jnp.zeros((n_cols,) + zero[k].shape, nb)
                       for k in KEYS},
-            "mat_y": {k: jnp.zeros((n_cols,) + zero[k].shape, f32)
+            "mat_y": {k: jnp.zeros((n_cols,) + zero[k].shape, nb)
                       for k in KEYS},
             "rho": jnp.zeros((n_cols,), f32),
             "col": jnp.int32(0), "mem": jnp.int32(0),
             "skips": jnp.int32(0), "hessian": jnp.float32(1.0),
+            "Gss": jnp.zeros((n_cols, n_cols), f32),
+            "Gsy": jnp.zeros((n_cols, n_cols), f32),
+            "Gyy": jnp.zeros((n_cols, n_cols), f32),
         }
         return {"y": y0, "y_prev": y0, "yvec_prev": zero,
                 "w": y0, "lbfgs": lb0,

@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--iters", type=int, default=500)
     ap.add_argument("--algos", default="fbe,nama")
+    ap.add_argument("--bf16", action="store_true",
+                    help="also measure the lbfgs_dtype=bfloat16 "
+                         "buffer variant (round-5 speed knob)")
     args = ap.parse_args()
 
     import jax
@@ -53,6 +56,11 @@ def main():
             "stream": make_qn_stream(fa, algorithm=algo,
                                      lbfgs_buffer_size=5, **kw),
         }
+        if args.bf16:
+            import jax.numpy as jnp
+            variants["stream_bf16"] = make_qn_stream(
+                fa, algorithm=algo, lbfgs_buffer_size=5,
+                lbfgs_dtype=jnp.bfloat16, **kw)
         ref_u = None
         for vname, run in variants.items():
             arg = jax.device_put(step)
