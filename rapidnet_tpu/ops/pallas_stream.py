@@ -255,7 +255,8 @@ def make_apg_stream(fa: dict, *, inv_step: float, step_size: float,
                     interpret: bool | str = "auto",
                     precision: str | lax.Precision =
                         lax.Precision.HIGHEST,
-                    consts: dict | None = None):
+                    consts: dict | None = None,
+                    stage_block: int | str = 1):
     """Streaming-kernel APG solve: run(step, y0=None) -> solver outputs.
 
     Same output contract as solver/apg.make_apg (control, x, u, v, y,
@@ -271,6 +272,12 @@ def make_apg_stream(fa: dict, *, inv_step: float, step_size: float,
     ``consts``: a precomputed ``pack_stream_constants(fa)`` result, so
     a caller that already packed to run the VMEM gate does not pay the
     tens-of-MB transpose/pad pass twice.
+
+    ``stage_block``: stages per K1/K2 grid invocation (must divide N;
+    'auto' picks the largest divisor ≤ 4).  The stage recursion stays
+    sequential in-kernel; bigger blocks amortise per-invocation DMA
+    setup — the round-4 attributed remainder of the streaming gap
+    (docs/roofline.md).  Identical math at any block size.
     """
     if interpret == "auto":
         interpret = jax.devices()[0].platform == "cpu"
@@ -287,6 +294,12 @@ def make_apg_stream(fa: dict, *, inv_step: float, step_size: float,
     xs_up = float(xs_upper)
     f32 = jnp.float32
     PREC = precision
+    if stage_block == "auto":
+        stage_block = max(k for k in (4, 3, 2, 1) if N % k == 0)
+    K = int(stage_block)
+    if K < 1 or N % K != 0:
+        raise ValueError(f"stage_block={K} must divide N={N}")
+    NB = N // K
 
     def dot(a, b):
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
@@ -294,106 +307,111 @@ def make_apg_stream(fa: dict, *, inv_step: float, step_size: float,
                                    precision=PREC)
 
     # ---------------- K1: fused dual-update + backward sweep ----------
-    # grid i = 0..N-1 visits stage s = N-1-i
+    # grid i = 0..NB-1 visits stages s = N-1-i*K .. N-K-i*K
     def k1(sc, sq, nhp, cx1, cx2, cu, bxmin, bxmax, bxs, bumin, bumax,
            Bb, LT, iW, CpT, BpT, beta,
            pre1, pre2, prep, y1, y2, yp, z1, z2, zp,
            o_y1, o_y2, o_yp, o_z1, o_z2, o_zp, o_v, o_inf,
            t_s, a_s, hilo):
         i = pl.program_id(0)
-        s = N - 1 - i
         lam_prev, lam_i, upd, k1f, k2f = (sc[0, 0], sc[0, 1], sc[0, 2],
                                           sc[0, 3], sc[0, 4])
-        sqv = sq[0]                                   # (1, NSP)
-        d1 = cx1[0] * sqv                             # (PX, NSP)
-        d2 = cx2[0] * sqv
-        g = cu[0] * sqv
 
-        def upd_block(pre, w_prev, box_lo, box_hi, shrink):
-            diff = pre[0] - jnp.clip(pre[0], box_lo, box_hi)
-            return (1.0 - shrink) * diff - c * w_prev
-
-        # previous iteration's w, residual, dual update (elementwise)
-        w1p = y1[0] + lam_prev * z1[0]
-        w2p = y2[0] + lam_prev * z2[0]
-        wpp = yp[0] + lam_prev * zp[0]
-        r1 = upd_block(pre1, w1p, bxmin[0] * sqv, bxmax[0] * sqv, k1f)
-        r2 = upd_block(pre2, w2p, bxs[0] * sqv, xs_up, k2f)
-        rp = upd_block(prep, wpp, bumin[0] * sqv, bumax[0] * sqv, 0.0)
-        y1n = y1[0] + upd * (lam_prev * z1[0] + step * r1)
-        y2n = y2[0] + upd * (lam_prev * z2[0] + step * r2)
-        ypn = yp[0] + upd * (lam_prev * zp[0] + step * rp)
-        z1n = y1n - y1[0]
-        z2n = y2n - y2[0]
-        zpn = ypn - yp[0]
-        o_y1[0] = y1n
-        o_y2[0] = y2n
-        o_yp[0] = ypn
-        o_z1[0] = z1n
-        o_z2[0] = z2n
-        o_zp[0] = zpn
-
-        # signed max-abs champion of the previous residual
         @pl.when(i == 0)
         def _():
             hilo[0] = f32(-jnp.inf)
             hilo[1] = f32(jnp.inf)
             hilo[2] = f32(-jnp.inf)
             hilo[3] = f32(jnp.inf)
-
-        hx = jnp.maximum(jnp.max(r1), jnp.max(r2))
-        lx = jnp.minimum(jnp.min(r1), jnp.min(r2))
-        hilo[0] = jnp.maximum(hilo[0], hx)
-        hilo[1] = jnp.minimum(hilo[1], lx)
-        hilo[2] = jnp.maximum(hilo[2], jnp.max(rp))
-        hilo[3] = jnp.minimum(hilo[3], jnp.min(rp))
-
-        @pl.when(i == N - 1)
-        def _():
-            vx = jnp.where(hilo[0] > -hilo[1], hilo[0], hilo[1])
-            vp = jnp.where(hilo[2] > -hilo[3], hilo[2], hilo[3])
-            o_inf[0, 0] = jnp.maximum(vx, vp)
-
-        # this iteration's extrapolated dual
-        w1 = y1n + lam_i * z1n
-        w2 = y2n + lam_i * z2n
-        wp = ypn + lam_i * zpn
-
-        # backward stage math (solver/solve_step.py stage_math,
-        # transposed)
-        @pl.when(i == 0)
-        def _():
             t_s[...] = jnp.zeros((PX, NSP), f32)
             a_s[...] = jnp.zeros((PV, NSP), f32)
 
-        t_new = d1 * w1 + d2 * w2 + t_s[...]
-        inner = (beta[0] + a_s[...] + dot(Bb[...], t_new) +
-                 dot(LT[...], g * wp))
-        o_v[0] = nhp[0] * dot(iW[...], inner)
+        for j in range(K):
+            rj = K - 1 - j                 # block row (stage-major)
+            s = N - 1 - (i * K + j)        # dynamic stage index
+            sqv = sq[rj]                                  # (1, NSP)
+            d1 = cx1[rj] * sqv                            # (PX, NSP)
+            d2 = cx2[rj] * sqv
+            g = cu[rj] * sqv
 
-        # child -> parent handoff (factored aggregation at the
-        # branching-prefix stages; identity elsewhere)
-        q, r = t_new, inner
-        for k, ps in enumerate(prefix_stages):
-            if ps > 0:
-                is_s = s == ps
+            def upd_block(pre, w_prev, box_lo, box_hi, shrink):
+                diff = pre - jnp.clip(pre, box_lo, box_hi)
+                return (1.0 - shrink) * diff - c * w_prev
 
-                @pl.when(is_s)
-                def _(k=k, q=q, r=r):
-                    qp = dot(q, CpT[k])               # (PX, Rmax)
-                    rp_ = dot(r, CpT[k])              # (PV, Rmax)
-                    t_s[...] = dot(qp, BpT[k])
-                    a_s[...] = dot(rp_, BpT[k])
+            # previous iteration's w, residual, dual update
+            w1p = y1[rj] + lam_prev * z1[rj]
+            w2p = y2[rj] + lam_prev * z2[rj]
+            wpp = yp[rj] + lam_prev * zp[rj]
+            r1 = upd_block(pre1[rj], w1p, bxmin[rj] * sqv,
+                           bxmax[rj] * sqv, k1f)
+            r2 = upd_block(pre2[rj], w2p, bxs[rj] * sqv, xs_up, k2f)
+            rp = upd_block(prep[rj], wpp, bumin[rj] * sqv,
+                           bumax[rj] * sqv, 0.0)
+            y1n = y1[rj] + upd * (lam_prev * z1[rj] + step * r1)
+            y2n = y2[rj] + upd * (lam_prev * z2[rj] + step * r2)
+            ypn = yp[rj] + upd * (lam_prev * zp[rj] + step * rp)
+            z1n = y1n - y1[rj]
+            z2n = y2n - y2[rj]
+            zpn = ypn - yp[rj]
+            o_y1[rj] = y1n
+            o_y2[rj] = y2n
+            o_yp[rj] = ypn
+            o_z1[rj] = z1n
+            o_z2[rj] = z2n
+            o_zp[rj] = zpn
 
-                @pl.when(jnp.logical_not(is_s))
-                def _(q=q, r=r):
-                    t_s[...] = q
-                    a_s[...] = r
-                # subsequent checks see the stored value
-                q, r = t_s[...], a_s[...]
-        if not prefix_stages:
-            t_s[...] = q
-            a_s[...] = r
+            # signed max-abs champion of the previous residual
+            hx = jnp.maximum(jnp.max(r1), jnp.max(r2))
+            lx = jnp.minimum(jnp.min(r1), jnp.min(r2))
+            hilo[0] = jnp.maximum(hilo[0], hx)
+            hilo[1] = jnp.minimum(hilo[1], lx)
+            hilo[2] = jnp.maximum(hilo[2], jnp.max(rp))
+            hilo[3] = jnp.minimum(hilo[3], jnp.min(rp))
+
+            if j == K - 1:
+                @pl.when(i == NB - 1)
+                def _():
+                    vx = jnp.where(hilo[0] > -hilo[1], hilo[0],
+                                   hilo[1])
+                    vp = jnp.where(hilo[2] > -hilo[3], hilo[2],
+                                   hilo[3])
+                    o_inf[0, 0] = jnp.maximum(vx, vp)
+
+            # this iteration's extrapolated dual
+            w1 = y1n + lam_i * z1n
+            w2 = y2n + lam_i * z2n
+            wp = ypn + lam_i * zpn
+
+            # backward stage math (solver/solve_step.py stage_math,
+            # transposed)
+            t_new = d1 * w1 + d2 * w2 + t_s[...]
+            inner = (beta[rj] + a_s[...] + dot(Bb[...], t_new) +
+                     dot(LT[...], g * wp))
+            o_v[rj] = nhp[rj] * dot(iW[...], inner)
+
+            # child -> parent handoff (factored aggregation at the
+            # branching-prefix stages; identity elsewhere)
+            q, r = t_new, inner
+            for k, ps in enumerate(prefix_stages):
+                if ps > 0:
+                    is_s = s == ps
+
+                    @pl.when(is_s)
+                    def _(k=k, q=q, r=r):
+                        qp = dot(q, CpT[k])           # (PX, Rmax)
+                        rp_ = dot(r, CpT[k])          # (PV, Rmax)
+                        t_s[...] = dot(qp, BpT[k])
+                        a_s[...] = dot(rp_, BpT[k])
+
+                    @pl.when(jnp.logical_not(is_s))
+                    def _(q=q, r=r):
+                        t_s[...] = q
+                        a_s[...] = r
+                    # subsequent checks see the stored value
+                    q, r = t_s[...], a_s[...]
+            if not prefix_stages:
+                t_s[...] = q
+                a_s[...] = r
 
     # ---------------- K2: forward + primal + prox pre-images ----------
     def k2(sc, sq, cx1, cx2, cu, bxmin, bxmax, bxs, rep, L, B,
@@ -402,10 +420,6 @@ def make_apg_stream(fa: dict, *, inv_step: float, step_size: float,
            du_s, x_s, acc):
         i = pl.program_id(0)
         lam_i = sc[0, 1]
-        sqv = sq[0]
-        d1 = cx1[0] * sqv
-        d2 = cx2[0] * sqv
-        g = cu[0] * sqv
 
         @pl.when(i == 0)
         def _():
@@ -414,49 +428,57 @@ def make_apg_stream(fa: dict, *, inv_step: float, step_size: float,
             acc[0] = f32(0.0)
             acc[1] = f32(0.0)
 
-        du = du_s[...] + dot(L[...], v[0])
-        u = uhat[0] + du
-        x = x_s[...] + e[0] + dot(B[...], u)
-        du_s[...] = du
-        x_s[...] = x
-        o_x[0] = x
-        o_u[0] = u
+        for rj in range(K):
+            sqv = sq[rj]
+            d1 = cx1[rj] * sqv
+            d2 = cx2[rj] * sqv
+            g = cu[rj] * sqv
 
-        w1 = y1[0] + lam_i * z1[0]
-        w2 = y2[0] + lam_i * z2[0]
-        wp = yp[0] + lam_i * zp[0]
-        pre1 = d1 * x + c * w1
-        pre2 = d2 * x + c * w2
-        prep = g * u + c * wp
-        o_pre1[0] = pre1
-        o_pre2[0] = pre2
-        o_prep[0] = prep
+            du = du_s[...] + dot(L[...], v[rj])
+            u = uhat[rj] + du
+            x = x_s[...] + e[rj] + dot(B[...], u)
+            du_s[...] = du
+            x_s[...] = x
+            o_x[rj] = x
+            o_u[rj] = u
 
-        rv = rep[0]                                    # (1, NSP)
-        df1 = pre1 - jnp.clip(pre1, bxmin[0] * sqv, bxmax[0] * sqv)
-        df2 = pre2 - jnp.clip(pre2, bxs[0] * sqv, xs_up)
-        acc[0] = acc[0] + jnp.sum(rv * df1 * df1)
-        acc[1] = acc[1] + jnp.sum(rv * df2 * df2)
+            w1 = y1[rj] + lam_i * z1[rj]
+            w2 = y2[rj] + lam_i * z2[rj]
+            wp = yp[rj] + lam_i * zp[rj]
+            pre1 = d1 * x + c * w1
+            pre2 = d2 * x + c * w2
+            prep = g * u + c * wp
+            o_pre1[rj] = pre1
+            o_pre2[rj] = pre2
+            o_prep[rj] = prep
 
-        @pl.when(i == N - 1)
-        def _():
-            o_d1[0, 0] = acc[0]
-            o_d2[0, 0] = acc[1]
+            rv = rep[rj]                               # (1, NSP)
+            df1 = pre1 - jnp.clip(pre1, bxmin[rj] * sqv,
+                                  bxmax[rj] * sqv)
+            df2 = pre2 - jnp.clip(pre2, bxs[rj] * sqv, xs_up)
+            acc[0] = acc[0] + jnp.sum(rv * df1 * df1)
+            acc[1] = acc[1] + jnp.sum(rv * df2 * df2)
+
+            if rj == K - 1:
+                @pl.when(i == NB - 1)
+                def _():
+                    o_d1[0, 0] = acc[0]
+                    o_d2[0, 0] = acc[1]
 
     # ---------------- specs ----------------
     def rev(i):
-        return (N - 1 - i, 0, 0)
+        return (NB - 1 - i, 0, 0)
 
     def fwd(i):
         return (i, 0, 0)
 
     def blk(P, index_map):
-        return pl.BlockSpec((1, P, NSP), index_map,
+        return pl.BlockSpec((K, P, NSP), index_map,
                             memory_space=pltpu.VMEM)
 
     def colb(P, index_map):
         """Per-stage (P, 1) column blocks (rank-1 factors/bounds)."""
-        return pl.BlockSpec((1, P, 1), index_map,
+        return pl.BlockSpec((K, P, 1), index_map,
                             memory_space=pltpu.VMEM)
 
     def fullb(shape):
@@ -474,7 +496,7 @@ def make_apg_stream(fa: dict, *, inv_step: float, step_size: float,
 
     k1_call = pl.pallas_call(
         k1,
-        grid=(N,),
+        grid=(NB,),
         in_specs=[smem_sc,
                   blk(1, rev), blk(1, rev),                  # sq nhp
                   colb(PX, rev), colb(PX, rev), colb(PU, rev),
@@ -504,7 +526,7 @@ def make_apg_stream(fa: dict, *, inv_step: float, step_size: float,
 
     k2_call = pl.pallas_call(
         k2,
-        grid=(N,),
+        grid=(NB,),
         in_specs=[smem_sc,
                   blk(1, fwd),                                  # sq
                   colb(PX, fwd), colb(PX, fwd), colb(PU, fwd),

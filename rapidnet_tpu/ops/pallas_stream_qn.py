@@ -19,6 +19,13 @@ searches — solver/qn_stream.py) stays in XLA on transposed slabs.
 Built in two variants: ``affine=True`` (the solve step) and
 ``affine=False`` (the Hessian oracle — the affine operands are not
 even read, saving their HBM traffic on the 2 extra sweeps/iteration).
+
+``stage_block=k`` processes k consecutive stages per grid invocation
+(grid length N/k, operand blocks (k, P, NSP)): the stage recursion
+stays sequential inside the kernel, but each grid step issues 1/k as
+many DMA descriptors and the double-buffered pipeline moves k×-bigger
+blocks — the round-4 verdict attributed the streaming gap to exactly
+this per-invocation setup (docs/roofline.md).
 """
 
 from __future__ import annotations
@@ -38,7 +45,8 @@ __all__ = ["make_stream_sweeps", "pack_stream_constants"]
 def make_stream_sweeps(consts: dict, *, affine: bool,
                        interpret: bool | str = "auto",
                        precision: str | lax.Precision =
-                           lax.Precision.HIGHEST):
+                           lax.Precision.HIGHEST,
+                       stage_block: int = 1):
     """Build (backward, forward) streaming sweep callables.
 
     consts: the host-side pack of ``pack_stream_constants(fa)``.
@@ -47,6 +55,7 @@ def make_stream_sweeps(consts: dict, *, affine: bool,
     every slab is stage-major transposed (N, P, NSP) and ``cd`` is the
     jnp-converted constant dict (the caller owns it so the arrays are
     staged once per solve, not per call).
+    ``stage_block``: stages per grid invocation (must divide N).
     """
     if interpret == "auto":
         interpret = jax.devices()[0].platform == "cpu"
@@ -56,6 +65,10 @@ def make_stream_sweeps(consts: dict, *, affine: bool,
     n_pref = max(len(prefix_stages), 1)
     f32 = jnp.float32
     PREC = precision
+    K = int(stage_block)
+    if K < 1 or N % K != 0:
+        raise ValueError(f"stage_block={K} must divide N={N}")
+    NB = N // K
 
     def dot(a, b):
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
@@ -70,43 +83,47 @@ def make_stream_sweeps(consts: dict, *, affine: bool,
         else:
             w1, w2, wp, o_v, t_s, a_s = refs
         i = pl.program_id(0)
-        s = N - 1 - i
-        sqv = sq[0]
-        d1 = cx1[0] * sqv
-        d2 = cx2[0] * sqv
-        g = cu[0] * sqv
 
         @pl.when(i == 0)
         def _():
             t_s[...] = jnp.zeros((PX, NSP), f32)
             a_s[...] = jnp.zeros((PV, NSP), f32)
 
-        t_new = d1 * w1[0] + d2 * w2[0] + t_s[...]
-        inner = a_s[...] + dot(Bb[...], t_new) + dot(LT[...], g * wp[0])
-        if affine:
-            inner = inner + beta[0]
-        o_v[0] = nhp[0] * dot(iW[...], inner)
+        for j in range(K):
+            r = K - 1 - j                  # row inside the block
+            s = N - 1 - (i * K + j)        # dynamic stage index
+            sqv = sq[r]
+            d1 = cx1[r] * sqv
+            d2 = cx2[r] * sqv
+            g = cu[r] * sqv
 
-        q, r = t_new, inner
-        for k, ps in enumerate(prefix_stages):
-            if ps > 0:
-                is_s = s == ps
+            t_new = d1 * w1[r] + d2 * w2[r] + t_s[...]
+            inner = (a_s[...] + dot(Bb[...], t_new) +
+                     dot(LT[...], g * wp[r]))
+            if affine:
+                inner = inner + beta[r]
+            o_v[r] = nhp[r] * dot(iW[...], inner)
 
-                @pl.when(is_s)
-                def _(k=k, q=q, r=r):
-                    qp = dot(q, CpT[k])
-                    rp_ = dot(r, CpT[k])
-                    t_s[...] = dot(qp, BpT[k])
-                    a_s[...] = dot(rp_, BpT[k])
+            q, rr = t_new, inner
+            for k, ps in enumerate(prefix_stages):
+                if ps > 0:
+                    is_s = s == ps
 
-                @pl.when(jnp.logical_not(is_s))
-                def _(q=q, r=r):
-                    t_s[...] = q
-                    a_s[...] = r
-                q, r = t_s[...], a_s[...]
-        if not prefix_stages:
-            t_s[...] = q
-            a_s[...] = r
+                    @pl.when(is_s)
+                    def _(k=k, q=q, rr=rr):
+                        qp = dot(q, CpT[k])
+                        rp_ = dot(rr, CpT[k])
+                        t_s[...] = dot(qp, BpT[k])
+                        a_s[...] = dot(rp_, BpT[k])
+
+                    @pl.when(jnp.logical_not(is_s))
+                    def _(q=q, rr=rr):
+                        t_s[...] = q
+                        a_s[...] = rr
+                    q, rr = t_s[...], a_s[...]
+            if not prefix_stages:
+                t_s[...] = q
+                a_s[...] = rr
 
     # ---------------- S2: forward sweep + primal ----------------
     def s2(sq, cx1, cx2, cu, L, B, *refs):
@@ -116,10 +133,6 @@ def make_stream_sweeps(consts: dict, *, affine: bool,
         else:
             v, o_x, o_u, o_p1, o_p2, o_pp, du_s, x_s = refs
         i = pl.program_id(0)
-        sqv = sq[0]
-        d1 = cx1[0] * sqv
-        d2 = cx2[0] * sqv
-        g = cu[0] * sqv
 
         @pl.when(i == 0)
         def _():
@@ -130,32 +143,38 @@ def make_stream_sweeps(consts: dict, *, affine: bool,
                 du_s[...] = jnp.zeros((PU, NSP), f32)
                 x_s[...] = jnp.zeros((PX, NSP), f32)
 
-        du = du_s[...] + dot(L[...], v[0])
-        u = (uhat[0] + du) if affine else du
-        x = x_s[...] + dot(B[...], u)
-        if affine:
-            x = x + e[0]
-        du_s[...] = du
-        x_s[...] = x
-        o_x[0] = x
-        o_u[0] = u
-        o_p1[0] = d1 * x
-        o_p2[0] = d2 * x
-        o_pp[0] = g * u
+        for r in range(K):
+            sqv = sq[r]
+            d1 = cx1[r] * sqv
+            d2 = cx2[r] * sqv
+            g = cu[r] * sqv
+
+            du = du_s[...] + dot(L[...], v[r])
+            u = (uhat[r] + du) if affine else du
+            x = x_s[...] + dot(B[...], u)
+            if affine:
+                x = x + e[r]
+            du_s[...] = du
+            x_s[...] = x
+            o_x[r] = x
+            o_u[r] = u
+            o_p1[r] = d1 * x
+            o_p2[r] = d2 * x
+            o_pp[r] = g * u
 
     # ---------------- specs ----------------
     def rev(i):
-        return (N - 1 - i, 0, 0)
+        return (NB - 1 - i, 0, 0)
 
     def fwd(i):
         return (i, 0, 0)
 
     def blk(P, index_map):
-        return pl.BlockSpec((1, P, NSP), index_map,
+        return pl.BlockSpec((K, P, NSP), index_map,
                             memory_space=pltpu.VMEM)
 
     def colb(P, index_map):
-        return pl.BlockSpec((1, P, 1), index_map,
+        return pl.BlockSpec((K, P, 1), index_map,
                             memory_space=pltpu.VMEM)
 
     def fullb(shape):
@@ -179,7 +198,7 @@ def make_stream_sweeps(consts: dict, *, affine: bool,
     s1_in += [blk(PX, rev), blk(PX, rev), blk(PU, rev)]   # w
 
     s1_call = pl.pallas_call(
-        s1, grid=(N,), in_specs=s1_in,
+        s1, grid=(NB,), in_specs=s1_in,
         out_specs=blk(PV, rev), out_shape=vslab,
         scratch_shapes=[pltpu.VMEM((PX, NSP), f32),
                         pltpu.VMEM((PV, NSP), f32)],
@@ -195,7 +214,7 @@ def make_stream_sweeps(consts: dict, *, affine: bool,
         s2_in += [blk(PU, fwd), blk(PX, fwd)]             # uhat e
 
     s2_call = pl.pallas_call(
-        s2, grid=(N,), in_specs=s2_in,
+        s2, grid=(NB,), in_specs=s2_in,
         out_specs=(blk(PX, fwd), blk(PU, fwd),
                    blk(PX, fwd), blk(PX, fwd), blk(PU, fwd)),
         out_shape=(dslab, uslab, dslab, dslab, uslab),

@@ -99,6 +99,7 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
                        lax.Precision.HIGHEST,
                    consts: dict | None = None,
                    lbfgs_dtype=jnp.float32,
+                   stage_block: int | str = 1,
                    ablate: frozenset = frozenset()):
     """Build the streaming FBE/NAMA solve: run(step, y0=None) -> outputs.
 
@@ -109,6 +110,9 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
     ``consts``: precomputed ``pack_stream_constants(fa)`` (single-device
     path only) — avoids repacking when the caller already packed for
     the VMEM gate.
+    ``stage_block``: stages per sweep-kernel grid invocation
+    (ops/pallas_stream_qn.py; must divide N — 'auto' picks the
+    largest divisor ≤ 4; single-device path only).
     ``lbfgs_dtype``: storage dtype of the L-BFGS s/y history slabs.
     float32 (default) matches the XLA path's numerics; bfloat16 halves
     the dominant buffer traffic at a small direction perturbation that
@@ -145,12 +149,16 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
         N, ns, nx, nu, nv, NSP, PX, PU, PV = consts["dims"]
         NG = NSP                           # global padded lane width
         axis = None
+        if stage_block == "auto":
+            stage_block = max(k for k in (4, 3, 2, 1) if N % k == 0)
         bwd_a, fwd_a = make_stream_sweeps(consts, affine=True,
                                           interpret=interpret,
-                                          precision=precision)
+                                          precision=precision,
+                                          stage_block=int(stage_block))
         bwd_l, fwd_l = make_stream_sweeps(consts, affine=False,
                                           interpret=interpret,
-                                          precision=precision)
+                                          precision=precision,
+                                          stage_block=int(stage_block))
         cd_host = {k: consts[k] for k in
                    ("sq", "nhp", "rep", "cx1", "cx2", "cu", "bx_min",
                     "bx_max", "bx_s", "bu_min", "bu_max", "Bb", "LT",

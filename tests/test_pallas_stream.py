@@ -271,6 +271,54 @@ def test_stream_vmem_estimate_scales_and_gates():
         wide, budget=40 * bytes_small)
 
 
+@pytest.mark.parametrize("k", [2, 4])
+def test_stage_blocked_stream_bit_exact(k):
+    """stage_block=k batches k stages per grid invocation with
+    IDENTICAL in-kernel math — outputs must match k=1 bit-for-bit
+    (APG two-kernel path and the QN sweeps)."""
+    import jax
+
+    from rapidnet_tpu.engine.engine import Engine
+    from rapidnet_tpu.model.config import synthetic_config
+    from rapidnet_tpu.model.forecaster import synthetic_forecaster
+    from rapidnet_tpu.model.network import synthetic_network
+    from rapidnet_tpu.model.scenario_tree import generate_tree
+    from rapidnet_tpu.ops import pallas_stream
+    from rapidnet_tpu.solver.controller import (_factor_arrays,
+                                                _step_arrays)
+    from rapidnet_tpu.solver.qn_stream import make_qn_stream
+
+    net = synthetic_network(nx=4, nu=7, nd=3, ne=2, seed=11)
+    tree = generate_tree(N=8, branching=[3, 2, 2], nd=3, nu=7, seed=11)
+    fc = synthetic_forecaster(N=8, nd=3, nu=7, sim_horizon=4, seed=11)
+    cfg = synthetic_config(net, tree, max_iterations=10, step_size=1e-3)
+    cfg.current_x = (0.98 * net.xmax).astype(np.float32)
+    eng = Engine(net, tree, cfg)
+    fc.predict_demand(0)
+    fc.predict_prices(0)
+    fa = _factor_arrays(eng)
+    step = _step_arrays(eng.prepare_step(
+        fc.nominal_demand, fc.nominal_prices, cfg.current_x,
+        cfg.prev_u, cfg.prev_demand))
+    kw = _kw(cfg, iters=10)
+    ref = pallas_stream.make_apg_stream(fa, **kw)(step)
+    out = pallas_stream.make_apg_stream(fa, stage_block=k, **kw)(step)
+    for key in ("control", "u", "x", "primal_infeasibility"):
+        np.testing.assert_array_equal(np.asarray(ref[key]),
+                                      np.asarray(out[key]), err_msg=key)
+    qref = make_qn_stream(fa, algorithm="namaAlgorithm",
+                          lbfgs_buffer_size=5, **kw)(step)
+    qout = make_qn_stream(fa, algorithm="namaAlgorithm",
+                          lbfgs_buffer_size=5, stage_block=k,
+                          **kw)(step)
+    for key in ("control", "u", "tau"):
+        np.testing.assert_array_equal(np.asarray(qref[key]),
+                                      np.asarray(qout[key]),
+                                      err_msg=key)
+    with pytest.raises(ValueError):
+        pallas_stream.make_apg_stream(fa, stage_block=3, **kw)  # 3∤8
+
+
 def test_stream_shape_only_estimator_matches_pack_and_shards():
     """estimate_stream_dims (the no-pack gate) agrees with the real
     pack single-device, and shrinks with the per-shard lane width —
