@@ -176,11 +176,18 @@ def nesterov_lambdas(max_iterations: int) -> np.ndarray:
 
 def make_pallas_solve(consts: dict, *, inv_step, step_size,
                       penalty_state, penalty_safety, xs_upper,
-                      max_iterations, interpret: bool = False):
+                      max_iterations, interpret: bool = False,
+                      tolerance: float | None = None):
     """Build the fused whole-solve kernel.
 
     Returns solve(step_padded, y0_tuple) ->
-    (y_xi1, y_xi2, y_psi, x, u, infeas_trace).
+    (y_xi1, y_xi2, y_psi, x, u, infeas_trace, iterations).
+    ``tolerance``: in-kernel early termination — the iteration loop
+    becomes a while_loop on the true residual magnitude
+    (max_abs_residual semantics, solver/solve_step.py:333-345), the
+    infeasibility trace is zero-padded past the exit and the actual
+    iteration count is returned — matching the XLA path's
+    tolerance contract with zero host synchronisation.
     """
     dims = consts["dims"]
     N, ns, nx, nu, nv, NSP, PX, PU, PV = dims
@@ -202,7 +209,7 @@ def make_pallas_solve(consts: dict, *, inv_step, step_size,
                BbT, Lm, iWT, LT, BT, Cs,
                beta, uhat, e, x0, pdu,
                y0x1, y0x2, y0ps,
-               o_yx1, o_yx2, o_yps, o_x, o_u, o_inf,
+               o_yx1, o_yx2, o_yps, o_x, o_u, o_inf, o_it,
                px1, px2, pps, w1, w2, wp, t_s, a_s, v_s, du_s, xa_s):
 
         def dot(a, b):
@@ -324,9 +331,33 @@ def make_pallas_solve(consts: dict, *, inv_step, step_size,
             bx = upd(upd((f32(-1.0), f32(0.0)), r1), r2)
             bp = upd((f32(-1.0), f32(0.0)), rp)
             o_inf[it, 0] = jnp.maximum(bx[1], bp[1])
-            return 0
+            # true residual magnitude (max_abs_residual) for the
+            # tolerance stopping rule — the signed trace above keeps
+            # the reference-quirk diagnostic
+            return jnp.maximum(bx[0], bp[0])
 
-        lax.fori_loop(0, max_iterations, iteration, 0)
+        if tolerance is None:
+            lax.fori_loop(0, max_iterations,
+                          lambda it, _: (iteration(it, 0), 0)[1], 0)
+            o_it[0, 0] = jnp.int32(max_iterations)
+        else:
+            def w_cond(state):
+                it, last = state
+                return (it < max_iterations) & (last > tolerance)
+
+            def w_body(state):
+                it, _ = state
+                return it + 1, iteration(it, 0)
+
+            it_end, _ = lax.while_loop(
+                w_cond, w_body, (jnp.int32(0), f32(jnp.inf)))
+            o_it[0, 0] = it_end
+
+            def zero_tail(i, _):
+                o_inf[i, 0] = f32(0.0)
+                return 0
+
+            lax.fori_loop(it_end, max_iterations, zero_tail, 0)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -339,6 +370,7 @@ def make_pallas_solve(consts: dict, *, inv_step, step_size,
         jax.ShapeDtypeStruct((NR, PX), f32),   # x
         jax.ShapeDtypeStruct((NR, PU), f32),   # u
         jax.ShapeDtypeStruct((max_iterations, 1), f32),   # infeas trace
+        jax.ShapeDtypeStruct((1, 1), jnp.int32),          # iterations
     )
     scratch = [
         pltpu.VMEM((NR, PX), f32),   # y_prev xi1
@@ -358,7 +390,7 @@ def make_pallas_solve(consts: dict, *, inv_step, step_size,
         kernel,
         out_shape=out_shape,
         in_specs=[smem] + [vmem] * (n_in - 1),
-        out_specs=(vmem,) * 5 + (smem,),
+        out_specs=(vmem,) * 5 + (smem, smem),
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -376,7 +408,8 @@ def make_pallas_solve(consts: dict, *, inv_step, step_size,
 def make_apg_pallas(fa: dict, *, inv_step, step_size, penalty_state,
                     penalty_safety, xs_upper, max_iterations,
                     project_control: bool = True,
-                    interpret: bool | str = "auto"):
+                    interpret: bool | str = "auto",
+                    tolerance: float | None = None):
     """Full APG solve on the fused whole-solve kernel.
 
     Returns run(step, y0=None) -> outputs dict, where ``step`` is the
@@ -396,7 +429,7 @@ def make_apg_pallas(fa: dict, *, inv_step, step_size, penalty_state,
         consts, inv_step=inv_step, step_size=step_size,
         penalty_state=penalty_state, penalty_safety=penalty_safety,
         xs_upper=xs_upper, max_iterations=max_iterations,
-        interpret=interpret)
+        interpret=interpret, tolerance=tolerance)
     # physical root-control bounds (solve_step.root_control_bounds)
     if "umin_phys" in fa:
         umin00 = jnp.asarray(np.asarray(fa["umin_phys"]))
@@ -414,7 +447,8 @@ def make_apg_pallas(fa: dict, *, inv_step, step_size, penalty_state,
         step_p = pad_step(step, dims)
         y0t = (y0["xi1"].reshape(-1, PX), y0["xi2"].reshape(-1, PX),
                y0["psi"].reshape(-1, PU))
-        yx1, yx2, yps, x, u, infs = solve(const_arrays, step_p, y0t)
+        yx1, yx2, yps, x, u, infs, its = solve(const_arrays, step_p,
+                                               y0t)
         x = x.reshape(N, NSP, PX)
         u = u.reshape(N, NSP, PU)
         u0 = u[0, 0, :nu]
@@ -426,7 +460,7 @@ def make_apg_pallas(fa: dict, *, inv_step, step_size, penalty_state,
                       "xi2": yx2.reshape(N, NSP, PX),
                       "psi": yps.reshape(N, NSP, PU)},
                 "primal_infeasibility": infs[:, 0],
-                "iterations": jnp.int32(max_iterations)}
+                "iterations": its[0, 0]}
 
     def run(step, y0=None):
         """step: the standard solver step dict (as for the XLA path)."""

@@ -94,11 +94,16 @@ def fits_vmem_qn(consts: dict, lbfgs_buffer_size: int,
 def make_pallas_qn_solve(consts: dict, *, algorithm, inv_step, step_size,
                          penalty_state, penalty_safety, xs_upper,
                          max_iterations, lbfgs_buffer_size,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         tolerance: float | None = None):
     """Build the fused whole-solve FBE/NAMA kernel.
 
     Returns solve(const_arrays, step_padded, y0_tuple) ->
-    (y_xi1, y_xi2, y_psi, x, u, infeas, value_fbe, tau).
+    (y_xi1, y_xi2, y_psi, x, u, infeas, value_fbe, tau, iterations).
+    ``tolerance``: in-kernel early termination on the true residual
+    magnitude (max_abs_residual semantics) with zero-padded traces and
+    the actual iteration count returned — the XLA path's tolerance
+    contract, no host sync (cf. pallas_apg.make_pallas_solve).
     """
     is_fbe = algorithm == ALGORITHM_FBE
     if not is_fbe and algorithm != ALGORITHM_NAMA:
@@ -128,6 +133,7 @@ def make_pallas_qn_solve(consts: dict, *, algorithm, inv_step, step_size,
                beta, uhat, e, x0, pdu, alpha, pu,
                y0x1, y0x2, y0ps,
                o_yx1, o_yx2, o_yps, o_x, o_u, o_inf, o_val, o_tau,
+               o_it,
                ypx1, ypx2, ypps, yvp1, yvp2, yvpp,
                lsw1, lsw2, lswp, rs1, rs2, rsp, yv1, yv2, yvq,
                dd1, dd2, ddp, wd1, wd2, wdp, hx, hu,
@@ -500,11 +506,41 @@ def make_pallas_qn_solve(consts: dict, *, algorithm, inv_step, step_size,
             o_inf[it, 0] = jnp.maximum(bx[1], bp[1])
             o_val[it, 0] = jnp.where(qn_on, value_ref, 0.0)
             o_tau[it, 0] = tau_out
-            return col, mem, skips, hess
+            # true residual magnitude for the tolerance stopping rule
+            return col, mem, skips, hess, jnp.maximum(bx[0], bp[0])
 
-        lax.fori_loop(0, max_iterations, iteration,
-                      (jnp.int32(0), jnp.int32(0), jnp.int32(0),
-                       f32(1.0)))
+        if tolerance is None:
+            def fori_body(it, carry):
+                return iteration(it, carry)[:4]
+
+            lax.fori_loop(0, max_iterations, fori_body,
+                          (jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                           f32(1.0)))
+            o_it[0, 0] = jnp.int32(max_iterations)
+        else:
+            def w_cond(state):
+                return ((state[0] < max_iterations) &
+                        (state[5] > tolerance))
+
+            def w_body(state):
+                it = state[0]
+                col, mem, skips, hess, mag = iteration(it, state[1:5])
+                return (it + 1, col, mem, skips, hess, mag)
+
+            state = lax.while_loop(
+                w_cond, w_body,
+                (jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                 jnp.int32(0), f32(1.0), f32(jnp.inf)))
+            it_end = state[0]
+            o_it[0, 0] = it_end
+
+            def zero_tail(i, _):
+                o_inf[i, 0] = f32(0.0)
+                o_val[i, 0] = f32(0.0)
+                o_tau[i, 0] = f32(0.0)
+                return 0
+
+            lax.fori_loop(it_end, max_iterations, zero_tail, 0)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -517,6 +553,7 @@ def make_pallas_qn_solve(consts: dict, *, algorithm, inv_step, step_size,
         jax.ShapeDtypeStruct((max_iterations, 1), f32),   # infeas
         jax.ShapeDtypeStruct((max_iterations, 1), f32),   # value_fbe
         jax.ShapeDtypeStruct((max_iterations, 1), f32),   # tau
+        jax.ShapeDtypeStruct((1, 1), jnp.int32),          # iterations
     )
     scratch = [
         pltpu.VMEM((NR, PX), f32),   # ypx1
@@ -562,7 +599,7 @@ def make_pallas_qn_solve(consts: dict, *, algorithm, inv_step, step_size,
         kernel,
         out_shape=out_shape,
         in_specs=[vmem] * n_in,
-        out_specs=(vmem,) * 5 + (smem,) * 3,
+        out_specs=(vmem,) * 5 + (smem,) * 4,
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -580,7 +617,8 @@ def make_qn_pallas(fa: dict, *, algorithm, inv_step, step_size,
                    penalty_state, penalty_safety, xs_upper,
                    max_iterations, lbfgs_buffer_size,
                    project_control: bool = True,
-                   interpret: bool | str = "auto"):
+                   interpret: bool | str = "auto",
+                   tolerance: float | None = None):
     """Full FBE/NAMA solve on the fused whole-solve kernel.
 
     Same contract as ``pallas_apg.make_apg_pallas``: returns
@@ -599,7 +637,8 @@ def make_qn_pallas(fa: dict, *, algorithm, inv_step, step_size,
         step_size=step_size, penalty_state=penalty_state,
         penalty_safety=penalty_safety, xs_upper=xs_upper,
         max_iterations=max_iterations,
-        lbfgs_buffer_size=lbfgs_buffer_size, interpret=interpret)
+        lbfgs_buffer_size=lbfgs_buffer_size, interpret=interpret,
+        tolerance=tolerance)
     # physical root-control bounds (solve_step.root_control_bounds)
     if "umin_phys" in fa:
         umin00 = jnp.asarray(np.asarray(fa["umin_phys"]))
@@ -614,7 +653,7 @@ def make_qn_pallas(fa: dict, *, algorithm, inv_step, step_size,
         step_p = pad_qn_step(step, dims)
         y0t = (y0["xi1"].reshape(-1, PX), y0["xi2"].reshape(-1, PX),
                y0["psi"].reshape(-1, PU))
-        yx1, yx2, yps, x, u, infs, vals, taus = solve(
+        yx1, yx2, yps, x, u, infs, vals, taus, its = solve(
             const_arrays, step_p, y0t)
         x = x.reshape(N, NSP, PX)
         u = u.reshape(N, NSP, PU)
@@ -628,7 +667,7 @@ def make_qn_pallas(fa: dict, *, algorithm, inv_step, step_size,
                       "psi": yps.reshape(N, NSP, PU)},
                 "primal_infeasibility": infs[:, 0],
                 "value_fbe": vals[:, 0], "tau": taus[:, 0],
-                "iterations": jnp.int32(max_iterations)}
+                "iterations": its[0, 0]}
 
     def run(step, y0=None):
         if y0 is None:

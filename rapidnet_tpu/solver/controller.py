@@ -93,9 +93,10 @@ class SmpcController:
                  stream_precision: str = "highest"):
         """backend: 'auto' | 'xla' | 'pallas'.  'auto' picks the fused
         whole-solve Pallas kernel (ops/pallas_apg.py for APG,
-        ops/pallas_qn.py for FBE/NAMA) for fixed-budget solves on a TPU
-        whose padded working set fits VMEM, and the general XLA path
-        otherwise.
+        ops/pallas_qn.py for FBE/NAMA) on a TPU whose padded working
+        set fits VMEM — fixed-budget or tolerance solves (the kernels
+        terminate in-kernel when ``tolerance`` is set) — and the
+        general XLA path otherwise.
 
         mesh: optional ``jax.sharding.Mesh`` with a 'scen' axis — the
         closed loop then runs the scenario-axis-sharded shard_map solve
@@ -189,12 +190,14 @@ class SmpcController:
                         consts=self._stream_consts, **p_kw)
             elif cfg.algorithm == ALGORITHM_APG:
                 from rapidnet_tpu.ops import pallas_apg
-                self._solver = pallas_apg.make_apg_pallas(self._fa, **p_kw)
+                self._solver = pallas_apg.make_apg_pallas(
+                    self._fa, tolerance=self.tolerance, **p_kw)
             else:
                 from rapidnet_tpu.ops import pallas_qn
                 self._solver = pallas_qn.make_qn_pallas(
                     self._fa, algorithm=cfg.algorithm,
-                    lbfgs_buffer_size=int(cfg.lbfgs_buffer_size), **p_kw)
+                    lbfgs_buffer_size=int(cfg.lbfgs_buffer_size),
+                    tolerance=self.tolerance, **p_kw)
             return
         if cfg.algorithm == ALGORITHM_APG:
             run = apg_mod.make_apg(
@@ -332,14 +335,14 @@ class SmpcController:
         when the padded working set fits VMEM; the streaming
         grid-over-stages APG kernel (ops/pallas_stream.py, sets
         ``self._use_stream``) for larger trees."""
-        if self.tolerance is not None:
-            # early termination runs on the XLA while_loop path
-            if self.backend in ("pallas", "stream"):
-                raise ValueError(
-                    f"backend='{self.backend}' does not support "
-                    "tolerance-based early termination; use "
-                    "backend='xla'")
-            return False
+        if self.tolerance is not None and self.backend == "stream":
+            # the streaming scan is fixed-budget; the whole-solve
+            # kernels terminate in-kernel (round 5) — only 'stream'
+            # rejects tolerance now
+            raise ValueError(
+                "backend='stream' does not support tolerance-based "
+                "early termination; use backend='pallas' (in-kernel "
+                "early exit) or 'xla'")
         if self.backend == "stream":
             self._use_stream = True
             return False
@@ -352,6 +355,10 @@ class SmpcController:
             from rapidnet_tpu.ops import pallas_apg
             if pallas_apg.fits_vmem(pallas_apg.pad_constants(self._fa)):
                 return True
+            if self.tolerance is not None:
+                # >VMEM + tolerance: the streaming kernels are
+                # fixed-budget — keep the XLA while_loop path
+                return False
             # whole-solve working set exceeds VMEM: stream the tree
             # through VMEM instead (measured 1.4-1.5x over the XLA path
             # at the 1024-scenario ladder config) — but only when the
@@ -372,6 +379,8 @@ class SmpcController:
                 pallas_qn.pad_qn_constants(self._fa),
                 int(self.config.lbfgs_buffer_size)):
             return True
+        if self.tolerance is not None:
+            return False       # >VMEM + tolerance: XLA while_loop path
         # whole-solve QN kernel exceeds VMEM: stream the oracle sweeps
         # (solver/qn_stream.py) when the tree factors are streamable
         # and the per-stage blocks fit the streaming VMEM budget

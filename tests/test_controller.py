@@ -78,15 +78,29 @@ def test_closed_loop_pallas_backend_matches_xla(ref_problem):
 
 
 @requires_reference
-def test_pallas_backend_rejects_tolerance(ref_problem):
+def test_pallas_backend_tolerance_early_exit(ref_problem):
+    """Round 5: the whole-solve Pallas kernels terminate in-kernel
+    when tolerance is set (backend='pallas' no longer rejects it);
+    the fixed-budget streaming backend still does."""
     from rapidnet_tpu.solver.controller import SmpcController
-    cfg = copy.deepcopy(ref_problem["config"])
-    ctrl = SmpcController(cfg, network=ref_problem["network"],
-                          tree=ref_problem["tree"],
-                          forecaster=ref_problem["forecaster"],
-                          backend="pallas", tolerance=1e-4)
+
+    def build(backend, tol):
+        cfg = copy.deepcopy(ref_problem["config"])
+        cfg.max_iterations = 80
+        return SmpcController(cfg, network=ref_problem["network"],
+                              tree=ref_problem["tree"],
+                              forecaster=ref_problem["forecaster"],
+                              backend=backend, tolerance=tol)
+
+    tol = 50.0
+    ref = build("xla", tol)
+    got = build("pallas", tol)
+    a = ref.control_action(0)
+    b = got.control_action(0)
+    assert int(got._last["iterations"]) == int(ref._last["iterations"])
+    np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-3)
     with pytest.raises(ValueError, match="early termination"):
-        ctrl.initialise()
+        build("stream", tol).initialise()
 
 
 def test_closed_loop_no_buffer_leaks(ref_problem):

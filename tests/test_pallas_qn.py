@@ -302,3 +302,41 @@ def test_independent_anchor_inverts_the_apg500_narrative():
     assert dev_nama500.max() < 0.015, dev_nama500
     assert (dev_fbe500 <= dev_apg500 + 1e-9).all()
     assert (dev_nama500 <= dev_apg500 + 1e-9).all()
+
+
+@pytest.mark.parametrize("algorithm", [ALGORITHM_FBE, ALGORITHM_NAMA])
+def test_pallas_qn_tolerance_early_exit_matches_xla(algorithm):
+    """tolerance= on the whole-solve QN kernel: in-kernel while_loop
+    stops at the XLA tolerance path's iteration, matches its control
+    and zero-pads the traces (round-5 early exit)."""
+    eng, fa, step, kw = _problem(max_iterations=20)
+    prefix = eng.factor_step().prefix_stages
+    probe = pallas_qn.make_qn_pallas(fa, algorithm=algorithm,
+                                     interpret=True, **kw)(step)
+    peak = float(np.abs(np.asarray(
+        probe["primal_infeasibility"])).max())
+    best = None
+    for mult in (1e4, 1e3, 100.0, 10.0, 3.0, 1.0, 0.3):
+        t = peak * mult
+        r = jax.jit(qn_mod.make_solver(
+            algorithm=algorithm, prefix_stages=prefix,
+            tolerance=t, **kw))(fa, step, None)
+        it = int(r["iterations"])
+        if 0 < it < kw["max_iterations"]:
+            best = (t, r)
+            if it > 1:
+                break
+    assert best is not None, "no tolerance produced a mid-budget exit"
+    tol, ref = best
+    out = pallas_qn.make_qn_pallas(fa, algorithm=algorithm,
+                                   interpret=True, tolerance=tol,
+                                   **kw)(step)
+    it_ref, it_out = int(ref["iterations"]), int(out["iterations"])
+    assert it_out == it_ref
+    assert 0 < it_out < kw["max_iterations"]
+    np.testing.assert_allclose(np.asarray(out["control"]),
+                               np.asarray(ref["control"]),
+                               rtol=1e-3, atol=1e-4)
+    for key in ("primal_infeasibility", "value_fbe", "tau"):
+        t = np.asarray(out[key])
+        assert (t[it_out:] == 0).all(), key
