@@ -149,6 +149,8 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
         N, ns, nx, nu, nv, NSP, PX, PU, PV = consts["dims"]
         NG = NSP                           # global padded lane width
         axis = None
+        if interpret == "auto":
+            interpret = jax.devices()[0].platform == "cpu"
         if stage_block == "auto":
             stage_block = max(k for k in (4, 3, 2, 1) if N % k == 0)
         bwd_a, fwd_a = make_stream_sweeps(consts, affine=True,
@@ -194,6 +196,14 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
     W_pad = np.zeros((PU, PU), np.float32)
     W_pad[:nu, :nu] = np.asarray(fa["W"], np.float32)
     cd_host["W"] = W_pad
+
+    # L-BFGS buffer passes as explicit single-sweep Pallas kernels
+    # (XLA does not reliably fuse the sibling buffer reductions —
+    # measured ~2.7 ms/iter vs the ~0.8 ms two-pass floor at config 5)
+    from rapidnet_tpu.ops.pallas_lbfgs import make_lbfgs_kernels
+    lbfgs_dots, lbfgs_combine = make_lbfgs_kernels(
+        N=N, n_cols=n_cols, PX=PX, PU=PU, lanes=NSLP, nb=nb,
+        interpret=interpret)
     if "umin_phys" in fa:
         umin00 = jnp.asarray(np.asarray(fa["umin_phys"]))
         umax00 = jnp.asarray(np.asarray(fa["umax_phys"]))
@@ -327,32 +337,15 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
         s = {k: (y[k] - y_prev[k]).astype(nb) for k in KEYS}
         yv = {k: (yvec[k] - yvec_prev[k]).astype(nb) for k in KEYS}
 
-        zsc = jnp.zeros((n_cols,), f32)
-        dSs = dSy = dSg = dYs = dYy = dYg = zsc
-        norm_s2 = inv_rho = norm_y2 = gg = gs_self = gy_self = f32(0.0)
-        for k in KEYS:
-            ms, my = lb["mat_s"][k], lb["mat_y"][k]
-            rs = rep * s[k]
-            ry = rep * yv[k]
-            rg = rep * yvec[k]
-            # buffer-column dots against [s, yv, grad] — sibling
-            # reductions over the same operands, one fused sweep
-            dSs = dSs + jnp.einsum("mnps,nps->m", ms, rs, precision=MM)
-            dSy = dSy + jnp.einsum("mnps,nps->m", ms, ry, precision=MM)
-            dSg = dSg + jnp.einsum("mnps,nps->m", ms, rg, precision=MM)
-            dYs = dYs + jnp.einsum("mnps,nps->m", my, rs, precision=MM)
-            dYy = dYy + jnp.einsum("mnps,nps->m", my, ry, precision=MM)
-            dYg = dYg + jnp.einsum("mnps,nps->m", my, rg, precision=MM)
-            norm_s2 = norm_s2 + jnp.sum(rs * s[k])
-            inv_rho = inv_rho + jnp.sum(rs * yv[k])
-            norm_y2 = norm_y2 + jnp.sum(ry * yv[k])
-            gg = gg + jnp.sum(rg * yvec[k])
-            gs_self = gs_self + jnp.sum(rs * yvec[k])
-            gy_self = gy_self + jnp.sum(ry * yvec[k])
-        (dSs, dSy, dSg, dYs, dYy, dYg, norm_s2, inv_rho, norm_y2, gg,
-         gs_self, gy_self) = [_psum(v) for v in (
-             dSs, dSy, dSg, dYs, dYy, dYg, norm_s2, inv_rho, norm_y2,
-             gg, gs_self, gy_self)]
+        dS, dY, selfd = lbfgs_dots(rep, lb["mat_s"], lb["mat_y"],
+                                   s, yv, yvec)
+        dS = _psum(dS)
+        dY = _psum(dY)
+        selfd = _psum(selfd)
+        dSs, dSy, dSg = dS[:, 0], dS[:, 1], dS[:, 2]
+        dYs, dYy, dYg = dY[:, 0], dY[:, 1], dY[:, 2]
+        norm_s2, inv_rho, norm_y2 = selfd[0], selfd[1], selfd[2]
+        gg, gs_self, gy_self = selfd[3], selfd[4], selfd[5]
 
         norm_grad = jnp.sqrt(gg)
         norm_grad = jnp.where(norm_grad < 1.0, norm_grad ** 3,
@@ -408,6 +401,7 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
             cy = cy.at[icol].add(-a)
             return cs, cy, cg, alphas.at[icol].set(a)
 
+        zsc = jnp.zeros((n_cols,), f32)
         cs, cy, cg, alphas = lax.fori_loop(
             0, mem, loop1, (zsc, zsc, f32(-1.0), zsc))
         cs, cy, cg = hessian * cs, hessian * cy, hessian * cg
@@ -436,14 +430,9 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
         ``g_extra=step`` builds NAMA's combined direction
         d - step*res = d + step*grad directly (grad = -res)."""
         cs, cy, cg = coef
-        out = {}
-        for k in KEYS:
-            out[k] = (jnp.einsum("m,mnps->nps", cs, lb["mat_s"][k],
-                                 precision=MM)
-                      + jnp.einsum("m,mnps->nps", cy, lb["mat_y"][k],
-                                   precision=MM)
-                      + (cg + g_extra) * g[k])
-        return out
+        coefv = jnp.concatenate(
+            [cs, cy, jnp.reshape(cg + g_extra, (1,))])
+        return lbfgs_combine(coefv, lb["mat_s"], lb["mat_y"], g)
 
     # ---------------- reduction-only line search ----------------
     def _ls_quadratics(cd, sp, base, u_dir):
@@ -467,37 +456,59 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
         e1 = _psum(jnp.sum(rep * (p * u_dir) * sp["alpha_t"]))
         return (s0, s1, s2, e0, e1)
 
-    def _ls_value_at(cd, bd, base, w_dir, p_dir, fq, tau):
-        """val(tau) in TWO chained reduction passes (no slab writes):
-        clip-distance dots -> shrink scalars -> direct residual dots
-        (the residual must be dotted elementwise, see diff_dots)."""
+    def _ls_trial_scalars(cd, bd, base, w_dir, p_dir, taus):
+        """ONE fused reduction pass evaluating EVERY tau in ``taus``
+        (a static tuple — the trial ladder is deterministic, so paired
+        taus share the operand reads).  Per tau and key:
+        dd = <diff,diff>, dw = <w_t,diff>, a0 = <w_t,res0>,
+        b0 = <res0,res0>, rd = <res0,diff> with res0 = prim_t - box
+        (the shrink-free residual, elementwise-stable grouping).  The
+        shrunk residual is res = res0 - s*diff, so
+          <w,res>   = a0 - s*dw
+          <res,res> = b0 - 2 s rd + s^2 dd
+        — the shrink scalars apply AFTER the pass, making each trial
+        value one reduction pass with no slab writes."""
         rep = cd["rep"]
         gb = _group_bounds(bd)
-        sc = {}
-        for k in KEYS:
-            lo, hi = gb[k]
-            w_t = base["w"][k] + tau * w_dir[k]
-            pre = base["prim"][k] + tau * p_dir[k] + c * w_t
-            diff = pre - jnp.clip(pre, lo, hi)
-            sc["dd_" + k] = _psum(jnp.sum(rep * diff * diff))
+        out = []
+        for tau in taus:
+            sc = {}
+            for k in KEYS:
+                lo, hi = gb[k]
+                w_t = base["w"][k] + tau * w_dir[k]
+                prim_t = base["prim"][k] + tau * p_dir[k]
+                pre = prim_t + c * w_t
+                box = jnp.clip(pre, lo, hi)
+                diff = pre - box
+                res0 = prim_t - box
+                sc["dd_" + k] = _psum(jnp.sum(rep * diff * diff))
+                sc["dw_" + k] = _psum(jnp.sum(rep * w_t * diff))
+                sc["a0_" + k] = _psum(jnp.sum(rep * w_t * res0))
+                sc["b0_" + k] = _psum(jnp.sum(rep * res0 * res0))
+                sc["rd_" + k] = _psum(jnp.sum(rep * res0 * diff))
+            out.append(sc)
+        return out
+
+    def _ls_val_from(sc, fq, tau):
+        """Assemble val(tau) from one trial's scalars."""
         shr, value_g = shrink_scalars(sc)
         wr = f32(0.0)
         rr = f32(0.0)
         for k in KEYS:
-            lo, hi = gb[k]
-            w_t = base["w"][k] + tau * w_dir[k]
-            prim_t = base["prim"][k] + tau * p_dir[k]
-            pre = prim_t + c * w_t
-            box = jnp.clip(pre, lo, hi)
-            res_t = prim_t - (box + shr[k] * (pre - box))
-            wr = wr + jnp.sum(rep * w_t * res_t)
-            rr = rr + jnp.sum(rep * res_t * res_t)
-        wr = _psum(wr)
-        rr = _psum(rr)
+            s_k = shr[k]
+            wr = wr + sc["a0_" + k] - s_k * sc["dw_" + k]
+            rr = rr + (sc["b0_" + k] - 2.0 * s_k * sc["rd_" + k]
+                       + s_k * s_k * sc["dd_" + k])
         s0, s1, s2, e0, e1 = fq
         f_tau = s0 + tau * s1 + tau * tau * s2 + e0 + tau * e1
         val = wr + 0.5 * step_c * rr + value_g + f_tau
         return val, shr["y1"], shr["y2"]
+
+    def _ls_value_at(cd, bd, base, w_dir, p_dir, fq, tau):
+        """val at a single (traced) tau — used by the no-line-search
+        ablation path."""
+        sc = _ls_trial_scalars(cd, bd, base, w_dir, p_dir, (tau,))[0]
+        return _ls_val_from(sc, fq, tau)
 
     def _ls_materialise(cd, bd, base, w_dir, p_dir, dirs, shr, tau):
         """Apply tau once: x, u, w_t and the residual at tau."""
@@ -523,36 +534,56 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
         a mesh every compared scalar is a psum, so all shards branch
         identically.  Returns (x, u, y_new, infeas, tau)."""
 
+        # The reference applies each trial's tau INCREMENT on top of
+        # the previous trial's state (cumulative backtracking), so the
+        # evaluation points follow the DETERMINISTIC ladder
+        # T_k = 1, 0.5, ..., 0.5^(LS_MAX-1), 0 (the 11th body
+        # re-applies the last increment, landing on 0), every
+        # comparison val(T_k) <= value_ref is independent of the
+        # others, and the kept state/reported tau are those of the
+        # FIRST FAILING trial (or the capped 11th).  Evaluate the
+        # ladder in PAIRS: two taus share one reduction pass's operand
+        # reads (the possible extra evaluation past the first failure
+        # has no semantic effect).
+        n_lad = LS_MAX_STEPS + 1
+        T_arr = jnp.asarray(
+            [1.0] + [0.5 ** k for k in range(1, LS_MAX_STEPS)] + [0.0],
+            f32)
+        rep_arr = jnp.asarray(
+            [1.0] + [0.5 ** k for k in range(1, LS_MAX_STEPS)]
+            + [0.5 ** (LS_MAX_STEPS - 1)], f32)
+        n_pairs = (n_lad + 1) // 2
+
         def cond(carry):
-            return carry[0] < LS_MAX_STEPS + 1
+            j, _, _, _, found = carry
+            return (~found) & (j < n_pairs)
 
         def body(carry):
-            istep, tau, _, _, _ = carry
-            # the reference applies each trial's tau INCREMENT on top
-            # of the previous trial's state (cumulative backtracking);
-            # relative to the fixed base the evaluation point is the
-            # running sum T = 1, 0.5, 0.25, ... of the increments
-            T_prev = carry[2]
-            T_eval = T_prev + tau
-            val, sh1, sh2 = _ls_value_at(cd, bd, base, w_dir, p_dir,
-                                         fq, T_eval)
-            improved = val <= value_ref
-            istep_new = jnp.where(improved, istep + 1,
-                                  jnp.int32(LS_MAX_STEPS + 1))
-            tau_base = jnp.where(istep_new == 1, jnp.float32(-1.0), tau)
-            tau_new = jnp.where(
-                improved & (istep_new < LS_MAX_STEPS),
-                tau_base + 0.5 ** istep_new.astype(f32), tau)
-            return istep_new, tau_new, T_eval, sh1, sh2
+            j, _, _, _, _ = carry
+            ka = 2 * j
+            kb = ka + 1
+            last = ka == n_lad - 1        # odd ladder: lone final slot
+            Ta = T_arr[ka]
+            Tb = T_arr[jnp.minimum(kb, n_lad - 1)]
+            sca, scb = _ls_trial_scalars(cd, bd, base, w_dir, p_dir,
+                                         (Ta, Tb))
+            va, sa1, sa2 = _ls_val_from(sca, fq, Ta)
+            vb, sb1, sb2 = _ls_val_from(scb, fq, Tb)
+            fail_a = va > value_ref
+            fail_b = vb > value_ref
+            pick_a = fail_a | last
+            found = pick_a | fail_b | (kb == n_lad - 1)
+            k_star = jnp.where(pick_a, ka, kb)
+            sh1 = jnp.where(pick_a, sa1, sb1)
+            sh2 = jnp.where(pick_a, sa2, sb2)
+            return j + 1, k_star, sh1, sh2, found
 
         def run_ls(_):
-            init = (jnp.int32(0), jnp.float32(1.0), jnp.float32(0.0),
-                    jnp.float32(0.0), jnp.float32(0.0))
-            _, tau, T_eval, sh1, sh2 = lax.while_loop(cond, body, init)
-            # on every exit path the LAST EVALUATED cumulative tau
-            # equals |last increment| (the reference's reported tau and
-            # kept-applied trial state coincide the same way)
-            return jnp.abs(tau), T_eval, sh1, sh2, jnp.bool_(True)
+            init = (jnp.int32(0), jnp.int32(0), jnp.float32(0.0),
+                    jnp.float32(0.0), jnp.bool_(False))
+            _, k_star, sh1, sh2, _ = lax.while_loop(cond, body, init)
+            return rep_arr[k_star], T_arr[k_star], sh1, sh2, \
+                jnp.bool_(True)
 
         def no_ls(_):
             tau_rep = jnp.where(direction_value > 0,
