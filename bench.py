@@ -267,28 +267,65 @@ def measure(repeats=REPEATS, include_qn=True):
                 np.abs(u_5k - u_star).max()) / anchor_scale, 5),
         }
         tol_u = TTS_RTOL * anchor_scale
-        for name, run in solvers.items():
-            out0 = jax.block_until_ready(run(fa, step0))
+        # budget-escalation ladder (VERDICT r4 task 3): if the control
+        # never stabilises at u** within the reference's 500-iteration
+        # budget, retry at 2x and 4x so iterations-to-1% is an actual
+        # number, not null — the accuracy-normalised claim a control
+        # engineer buys the quasi-Newton algorithms for
+        budgets = (MAX_ITER, 2 * MAX_ITER, 4 * MAX_ITER)
+        algo_ids = {"fbe": "globalFbeAlgorithm",
+                    "nama": "namaAlgorithm"}
+        built = {}
+
+        def solver_at(name, iters):
+            if (name, iters) in built:
+                return built[(name, iters)]
+            if iters == MAX_ITER:
+                run = solvers[name]
+            else:
+                kw_i = dict(kw, max_iterations=iters,
+                            trace_control=True)
+                if name == "apg":
+                    run = jax.jit(apg_mod.make_apg(
+                        prefix_stages=eng.factor_step().prefix_stages,
+                        **kw_i))
+                else:
+                    run = jax.jit(quasi_newton.make_solver(
+                        prefix_stages=eng.factor_step().prefix_stages,
+                        lbfgs_buffer_size=5, algorithm=algo_ids[name],
+                        **kw_i))
+            built[(name, iters)] = run
+            return run
+
+        def stabilisation(out, budget):
+            tr = np.asarray(out["control_trace"])
+            err = np.abs(tr - u_star[None]).max(axis=1)
+            stable = np.flatnonzero(
+                np.maximum.accumulate(err[::-1])[::-1] > tol_u)
+            k = int(stable[-1]) + 2 if stable.size else 1
+            return k, (k <= budget and err[-1] <= tol_u), err
+
+        for name in solvers:
+            out0 = jax.block_until_ready(solvers[name](fa, step0))
             y_warm = out0["y"]
             entry = {}
             for mode, args in (("cold", (step1,)),
                                ("warm", (step1, y_warm))):
-                out, ms = solve_ms(run, args)
-                tr = np.asarray(out["control_trace"])
-                err = np.abs(tr - u_star[None]).max(axis=1)
-                stable = np.flatnonzero(
-                    np.maximum.accumulate(err[::-1])[::-1] > tol_u)
-                k = int(stable[-1]) + 2 if stable.size else 1
-                solved = k <= MAX_ITER and err[-1] <= tol_u
+                for budget in budgets:
+                    out, ms = solve_ms(solver_at(name, budget), args)
+                    k, solved, err = stabilisation(out, budget)
+                    if budget == MAX_ITER:
+                        # reference-budget fields (fixed semantics)
+                        entry[f"{mode}_budget_ms"] = round(ms, 3)
+                        entry[f"{mode}_final_dev_vs_anchor"] = round(
+                            float(err[-1]) / anchor_scale, 5)
+                    if solved:
+                        break
                 entry[f"{mode}_iters"] = k if solved else None
-                entry[f"{mode}_ms"] = (round(ms * k / MAX_ITER, 3)
+                entry[f"{mode}_ms"] = (round(ms * k / budget, 3)
                                        if solved else None)
-                entry[f"{mode}_budget_ms"] = round(ms, 3)
-                # distance of the budget answer from the anchor —
-                # re-states the FBE/NAMA gap against a
-                # budget-independent target
-                entry[f"{mode}_final_dev_vs_anchor"] = round(
-                    float(err[-1]) / anchor_scale, 5)
+                entry[f"{mode}_solved_budget"] = (budget if solved
+                                                  else None)
             tts[name] = entry
         tts["anchor"] = anchor
 
