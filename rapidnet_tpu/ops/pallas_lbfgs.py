@@ -76,9 +76,13 @@ def make_lbfgs_kernels(*, N: int, n_cols: int, PX: int, PU: int,
 
         @pl.when(i == 0)
         def _():
-            accS[...] = jnp.zeros((M, 3), f32)
-            accY[...] = jnp.zeros((M, 3), f32)
-            accF[...] = jnp.zeros((8,), f32)
+            # SMEM stores must be scalar under Mosaic
+            for m in range(M):
+                for t in range(3):
+                    accS[m, t] = f32(0.0)
+                    accY[m, t] = f32(0.0)
+            for t in range(8):
+                accF[t] = f32(0.0)
 
         rv = rep[0]                               # (1, lanes)
         for (ms, my, s_, yv_, g_) in (
@@ -109,9 +113,12 @@ def make_lbfgs_kernels(*, N: int, n_cols: int, PX: int, PU: int,
 
         @pl.when(i == N - 1)
         def _():
-            o_dS[...] = accS[...]
-            o_dY[...] = accY[...]
-            o_self[...] = accF[...]
+            for m in range(M):
+                for t in range(3):
+                    o_dS[m, t] = accS[m, t]
+                    o_dY[m, t] = accY[m, t]
+            for t in range(8):
+                o_self[t] = accF[t]
 
     dots_call = pl.pallas_call(
         dots_kernel, grid=(N,),

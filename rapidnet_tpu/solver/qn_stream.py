@@ -324,13 +324,18 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
                 "prim": {"y1": p1, "y2": p2, "yp": pp}}
 
     # ---------------- L-BFGS: Gram-matrix two-loop ----------------
-    def lbfgs_update_and_direction(cd, lb, y, y_prev, yvec, yvec_prev):
+    def lbfgs_update_and_direction(cd, lb, y, y_prev, yvec, yvec_prev,
+                                   qn_on):
         """updateLbfgsBuffer + twoLoopRecursionLbfgs
         (src/SmpcController.cu:1103-1232), Gram form: same update and
         acceptance scheme as quasi_newton.lbfgs_update_and_direction;
         the two-loop runs on span coefficients, so the buffer is
         touched twice per iteration (dot sweep here, weighted
-        combination in :func:`direction`)."""
+        combination in :func:`direction`).  ``qn_on`` masks the
+        first iteration (no buffer/hessian/skips mutation) — scalar
+        masking instead of a lax.cond, so the 0.3-0.6 GB history
+        never rides through a conditional (XLA copies cond-routed
+        carries; the whole-solve kernel uses the same scheme)."""
         rep = cd["rep"]
         # differences, rounded to the storage dtype FIRST so the Gram
         # entries describe exactly what the buffer holds
@@ -350,7 +355,8 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
         norm_grad = jnp.sqrt(gg)
         norm_grad = jnp.where(norm_grad < 1.0, norm_grad ** 3,
                               norm_grad)
-        accept = inv_rho / jnp.maximum(norm_s2, 1e-30) > 1e-6 * norm_grad
+        accept = (inv_rho / jnp.maximum(norm_s2, 1e-30)
+                  > 1e-6 * norm_grad) & qn_on
 
         col_new = 1 + (lb["col"] % lbfgs_buffer_size)
         col = jnp.where(accept, col_new, lb["col"])
@@ -369,11 +375,12 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
         mat_y = {k: put_col(lb["mat_y"][k], yv[k]) for k in KEYS}
         rho = lb["rho"].at[col_new].set(
             jnp.where(accept, 1.0 / inv_rho, lb["rho"][col_new]))
-        skips = lb["skips"] + jnp.where(accept, 0, 1)
+        skips = lb["skips"] + jnp.where(qn_on & ~accept, 1, 0)
         gamma = inv_rho / jnp.maximum(norm_y2, 1e-30)
         hessian = jnp.where(
             (gamma < 0) | (jnp.abs(gamma - lb["hessian"]) == 0),
             1.0, gamma)
+        hessian = jnp.where(qn_on, hessian, lb["hessian"])
 
         # incremental Gram update: one new row/column per accept
         def upd_sym(G, vec, diag):
@@ -527,24 +534,25 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
         return x, u, w_t, res
 
     def tau_search_apply(cd, bd, base, w_dir, p_dir, dirs, fq,
-                         value_ref, direction_value):
+                         value_ref, direction_value, qn_on):
         """Cumulative backtracking tau loop
         (src/SmpcController.cu:1280-1315) — reference semantics
         incl. keeping the last (possibly worsening) trial applied; on
         a mesh every compared scalar is a psum, so all shards branch
-        identically.  Returns (x, u, y_new, infeas, tau)."""
+        identically.  Returns (x, u, y_new, infeas, tau).
 
-        # The reference applies each trial's tau INCREMENT on top of
-        # the previous trial's state (cumulative backtracking), so the
-        # evaluation points follow the DETERMINISTIC ladder
-        # T_k = 1, 0.5, ..., 0.5^(LS_MAX-1), 0 (the 11th body
-        # re-applies the last increment, landing on 0), every
-        # comparison val(T_k) <= value_ref is independent of the
-        # others, and the kept state/reported tau are those of the
-        # FIRST FAILING trial (or the capped 11th).  Evaluate the
-        # ladder in PAIRS: two taus share one reduction pass's operand
-        # reads (the possible extra evaluation past the first failure
-        # has no semantic effect).
+        The reference applies each trial's tau INCREMENT on top of the
+        previous trial's state, so the evaluation points follow the
+        DETERMINISTIC ladder T_k = 1, 0.5, ..., 0.5^(LS_MAX-1), 0
+        (the capped 11th body lands on 0), every comparison
+        val(T_k) <= value_ref is independent of the others, and the
+        kept state/reported tau are those of the FIRST FAILING trial
+        (or the capped 11th).  Each trial is one reduction pass; the
+        final state is ONE unconditional masked materialise — no slab
+        ever routes through a lax.cond (XLA copies cond-routed
+        operands; tau_eff = 0 with the skip branch's shrinks
+        reproduces the unstepped state bit-exactly, incl. NAMA's
+        pre-shift residual via the res0 select)."""
         n_lad = LS_MAX_STEPS + 1
         T_arr = jnp.asarray(
             [1.0] + [0.5 ** k for k in range(1, LS_MAX_STEPS)] + [0.0],
@@ -552,84 +560,74 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
         rep_arr = jnp.asarray(
             [1.0] + [0.5 ** k for k in range(1, LS_MAX_STEPS)]
             + [0.5 ** (LS_MAX_STEPS - 1)], f32)
-        n_pairs = (n_lad + 1) // 2
-
-        def cond(carry):
-            j, _, _, _, found = carry
-            return (~found) & (j < n_pairs)
-
-        def body(carry):
-            j, _, _, _, _ = carry
-            ka = 2 * j
-            kb = ka + 1
-            last = ka == n_lad - 1        # odd ladder: lone final slot
-            Ta = T_arr[ka]
-            Tb = T_arr[jnp.minimum(kb, n_lad - 1)]
-            sca, scb = _ls_trial_scalars(cd, bd, base, w_dir, p_dir,
-                                         (Ta, Tb))
-            va, sa1, sa2 = _ls_val_from(sca, fq, Ta)
-            vb, sb1, sb2 = _ls_val_from(scb, fq, Tb)
-            fail_a = va > value_ref
-            fail_b = vb > value_ref
-            pick_a = fail_a | last
-            found = pick_a | fail_b | (kb == n_lad - 1)
-            k_star = jnp.where(pick_a, ka, kb)
-            sh1 = jnp.where(pick_a, sa1, sb1)
-            sh2 = jnp.where(pick_a, sa2, sb2)
-            return j + 1, k_star, sh1, sh2, found
-
-        def run_ls(_):
-            init = (jnp.int32(0), jnp.int32(0), jnp.float32(0.0),
-                    jnp.float32(0.0), jnp.bool_(False))
-            _, k_star, sh1, sh2, _ = lax.while_loop(cond, body, init)
-            return rep_arr[k_star], T_arr[k_star], sh1, sh2, \
-                jnp.bool_(True)
-
-        def no_ls(_):
-            tau_rep = jnp.where(direction_value > 0,
-                                jnp.float32(1.0), jnp.float32(0.0))
-            return (tau_rep, jnp.float32(0.0), jnp.float32(0.0),
-                    jnp.float32(0.0), jnp.bool_(False))
 
         positive = direction_value > 0
         tiny = jnp.abs(direction_value) < LS_TOLERANCE
-        tau_rep, tau_eval, sh1, sh2, applied = lax.cond(
-            positive | tiny, no_ls, run_ls, None)
+        skip = positive | tiny | jnp.logical_not(qn_on)
+
+        def cond(carry):
+            return ~carry[4]
+
+        def body(carry):
+            k, _, _, _, _ = carry
+            T = T_arr[k]
+            sc = _ls_trial_scalars(cd, bd, base, w_dir, p_dir,
+                                   (T,))[0]
+            val, sh1, sh2 = _ls_val_from(sc, fq, T)
+            found = (val > value_ref) | (k == n_lad - 1)
+            return k + 1, k, sh1, sh2, found
+
+        init = (jnp.int32(0), jnp.int32(0), jnp.float32(0.0),
+                jnp.float32(0.0), skip)
+        _, k_star, sh1, sh2, _ = lax.while_loop(cond, body, init)
+
+        applied = jnp.logical_not(skip)
+        tau_eff = jnp.where(applied, T_arr[k_star], f32(0.0))
+        tau_rep = jnp.where(applied, rep_arr[k_star],
+                            jnp.where(positive & qn_on, f32(1.0),
+                                      f32(0.0)))
         shr = {"y1": sh1, "y2": sh2, "yp": jnp.float32(0.0)}
 
-        def apply_fn(_):
-            x, u, w_t, res = _ls_materialise(cd, bd, base, w_dir,
-                                             p_dir, dirs, shr, tau_eval)
-            return (x, u, _axpy(step_c, res, w_t),
-                    signed_champion(res))
+        # unconditional masked materialise (see docstring)
+        gb = _group_bounds(bd)
+        x = base["x"] + tau_eff * dirs["x"]
+        u = base["u"] + tau_eff * dirs["u"]
+        y_new, res_f = {}, {}
+        for k in KEYS:
+            lo, hi = gb[k]
+            wt = base["w"][k] + tau_eff * w_dir[k]
+            prim_t = base["prim"][k] + tau_eff * p_dir[k]
+            pre = prim_t + c * wt
+            box = jnp.clip(pre, lo, hi)
+            res_t = prim_t - (box + shr[k] * (pre - box))
+            rf = jnp.where(applied, res_t, base["res0"][k])
+            res_f[k] = rf
+            y_new[k] = wt + step_c * rf
+        return x, u, y_new, signed_champion(res_f), tau_rep
 
-        def keep_fn(_):
-            res0 = base["res0"]
-            return (base["x"], base["u"],
-                    _axpy(step_c, res0, base["w"]),
-                    signed_champion(res0))
-
-        x, u, y_new, infeas = lax.cond(applied, apply_fn, keep_fn, None)
-        return x, u, y_new, infeas, tau_rep
-
-    def fbe_line_search(cd, bd, sp, base, lbfgs_dir, value_ref, dval):
+    def fbe_line_search(cd, bd, sp, base, lbfgs_dir, value_ref, dval,
+                        qn_on):
         """computeLineSearchLbfgsUpdate (src/SmpcController.cu:
         1250-1320)."""
         h = linmap(cd, lbfgs_dir)
         fq = _ls_quadratics(cd, sp, base, h["u"])
         return tau_search_apply(cd, bd, base, lbfgs_dir, h["prim"],
                                 {"x": h["x"], "u": h["u"]}, fq,
-                                value_ref, dval)
+                                value_ref, dval, qn_on)
 
-    def ame_line_search(cd, bd, sp, state, comb, res, value_ref, dval):
+    def ame_line_search(cd, bd, sp, state, comb, res, value_ref, dval,
+                        qn_on):
         """computeLineSearchAmeLbfgsUpdate (src/SmpcController.cu:
         1326-1414): gradient step applied unconditionally, tau loop
-        along comb = lbfgsDir - step * res."""
+        along comb = lbfgsDir - step * res.  The shift is scaled by
+        qn_on (iteration 0 reproduces the plain dual step exactly:
+        x + 0*h = x)."""
         hres = linmap(cd, res)
-        base = {"x": state["x"] + step_c * hres["x"],
-                "u": state["u"] + step_c * hres["u"],
-                "w": _axpy(step_c, res, state["w"]),
-                "prim": _axpy(step_c, hres["prim"], state["prim"]),
+        shift = jnp.where(qn_on, f32(step_c), f32(0.0))
+        base = {"x": state["x"] + shift * hres["x"],
+                "u": state["u"] + shift * hres["u"],
+                "w": _axpy(shift, res, state["w"]),
+                "prim": _axpy(shift, hres["prim"], state["prim"]),
                 # the no-line-search path keeps the PRE-shift residual
                 # (reference st carries it through the shift)
                 "res0": res}
@@ -637,7 +635,7 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
         fq = _ls_quadratics(cd, sp, base, hcomb["u"])
         return tau_search_apply(cd, bd, base, comb, hcomb["prim"],
                                 {"x": hcomb["x"], "u": hcomb["u"]},
-                                fq, value_ref, dval)
+                                fq, value_ref, dval, qn_on)
 
     # ---------------- iteration ----------------
     def signed_champion(res):
@@ -683,69 +681,75 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
         base = {"x": sol["x"], "u": sol["u"], "w": w, "prim": prim,
                 "res0": res}
 
-        def with_qn(lb):
-            rep = cd["rep"]
-            wr = ddot(w, res, rep)
-            rr = ddot(res, res, rep)
-            value = (wr + 0.5 * step_c * rr + value_g +
-                     smooth_econ(cd, sp, sol["u"]))
-            if "no_lbfgs" in ablate:
-                lb_new = lb
-                lbfgs_dir = {k: -yvec[k] for k in KEYS}
-                dval = -ddot(yvec, yvec, cd["rep"])
-                if not is_fbe:
-                    lbfgs_dir = {k: lbfgs_dir[k] - step_c * res[k]
-                                 for k in KEYS}
-            else:
-                lb_new, coef, gdots = lbfgs_update_and_direction(
-                    cd, lb, carry["y"], carry["y_prev"], yvec,
-                    carry["yvec_prev"])
-                gs_vec, gy_vec, gg = gdots
-                cs, cy, cg = coef
-                # dval = <grad, dir> (FBE) = -<res, dir> (NAMA; grad =
-                # -res) — free in the span coefficients
-                dval = (jnp.sum(cs * gs_vec) + jnp.sum(cy * gy_vec)
-                        + cg * gg)
-                lbfgs_dir = direction(
-                    lb_new, coef, yvec,
-                    g_extra=0.0 if is_fbe else step_c)
-            if "no_ls" in ablate:
-                h = linmap(cd, lbfgs_dir)
-                fq = _ls_quadratics(cd, sp, base, h["u"])
-                _, sh1, sh2 = _ls_value_at(cd, bd, base, lbfgs_dir,
-                                           h["prim"], fq,
-                                           jnp.float32(1.0))
-                x, u, w_t, res_t = _ls_materialise(
-                    cd, bd, base, lbfgs_dir, h["prim"],
-                    {"x": h["x"], "u": h["u"]},
-                    {"y1": sh1, "y2": sh2, "yp": jnp.float32(0.0)},
-                    jnp.float32(1.0))
-                return (x, u, _axpy(step_c, res_t, w_t),
-                        signed_champion(res_t), lb_new,
-                        jnp.float32(1.0), value)
-            if is_fbe:
-                x, u, y_new, infeas, tau = fbe_line_search(
-                    cd, bd, sp, base, lbfgs_dir, value, dval)
-            else:
-                x, u, y_new, infeas, tau = ame_line_search(
-                    cd, bd, sp, base, lbfgs_dir, res, value, dval)
-            return x, u, y_new, infeas, lb_new, tau, value
-
-        def without_qn(lb):
-            return (sol["x"], sol["u"], _axpy(step_c, res, w),
-                    signed_champion(res), lb, jnp.float32(0.0),
-                    jnp.float32(0.0))
-
         if "no_qn" in ablate:
-            x, u, y_new, infeas, lb, tau, value = without_qn(
-                carry["lbfgs"])
+            y_new = _axpy(step_c, res, w)
+            new_carry = {
+                "y": y_new, "y_prev": carry["y"], "yvec_prev": yvec,
+                "w": y_new, "lbfgs": carry["lbfgs"],
+                "x": sol["x"], "u": sol["u"], "v": sol["v"],
+            }
+            return new_carry, (signed_champion(res), jnp.float32(0.0),
+                               jnp.float32(0.0))
+
+        # The quasi-Newton work runs UNCONDITIONALLY with every
+        # decision scalar masked by qn_on (the whole-solve kernel's
+        # scheme): iteration 0 reproduces the plain dual step
+        # bit-exactly (x + 0*d = x, forced no-apply branch), and no
+        # slab rides through a lax.cond — XLA copies cond-routed
+        # operands, which for the 0.3-0.6 GB L-BFGS history dominated
+        # the measured iteration.
+        qn_on = it > 0
+        lb = carry["lbfgs"]
+        rep = cd["rep"]
+        wr = ddot(w, res, rep)
+        rr = ddot(res, res, rep)
+        value = (wr + 0.5 * step_c * rr + value_g +
+                 smooth_econ(cd, sp, sol["u"]))
+        if "no_lbfgs" in ablate:
+            lb_new = lb
+            lbfgs_dir = {k: -yvec[k] for k in KEYS}
+            dval = -ddot(yvec, yvec, cd["rep"])
+            if not is_fbe:
+                lbfgs_dir = {k: lbfgs_dir[k] - step_c * res[k]
+                             for k in KEYS}
         else:
-            x, u, y_new, infeas, lb, tau, value = lax.cond(
-                it > 0, with_qn, without_qn, carry["lbfgs"])
+            lb_new, coef, gdots = lbfgs_update_and_direction(
+                cd, lb, carry["y"], carry["y_prev"], yvec,
+                carry["yvec_prev"], qn_on)
+            gs_vec, gy_vec, gg = gdots
+            cs, cy, cg = coef
+            # dval = <grad, dir> (FBE) = -<res, dir> (NAMA; grad =
+            # -res) — free in the span coefficients
+            dval = (jnp.sum(cs * gs_vec) + jnp.sum(cy * gy_vec)
+                    + cg * gg)
+            lbfgs_dir = direction(
+                lb_new, coef, yvec,
+                g_extra=0.0 if is_fbe else step_c)
+        if "no_ls" in ablate:
+            h = linmap(cd, lbfgs_dir)
+            fq = _ls_quadratics(cd, sp, base, h["u"])
+            _, sh1, sh2 = _ls_value_at(cd, bd, base, lbfgs_dir,
+                                       h["prim"], fq,
+                                       jnp.float32(1.0))
+            x, u, w_t, res_t = _ls_materialise(
+                cd, bd, base, lbfgs_dir, h["prim"],
+                {"x": h["x"], "u": h["u"]},
+                {"y1": sh1, "y2": sh2, "yp": jnp.float32(0.0)},
+                jnp.float32(1.0))
+            y_new = _axpy(step_c, res_t, w_t)
+            infeas = signed_champion(res_t)
+            tau = jnp.float32(1.0)
+        elif is_fbe:
+            x, u, y_new, infeas, tau = fbe_line_search(
+                cd, bd, sp, base, lbfgs_dir, value, dval, qn_on)
+        else:
+            x, u, y_new, infeas, tau = ame_line_search(
+                cd, bd, sp, base, lbfgs_dir, res, value, dval, qn_on)
+        value = jnp.where(qn_on, value, jnp.float32(0.0))
 
         new_carry = {
             "y": y_new, "y_prev": carry["y"], "yvec_prev": yvec,
-            "w": y_new, "lbfgs": lb,
+            "w": y_new, "lbfgs": lb_new,
             "x": x, "u": u, "v": sol["v"],
         }
         return new_carry, (infeas, value, tau)
