@@ -285,6 +285,42 @@ def sharded_stream_row(problem, repeats):
     return rec
 
 
+def sharded_stream_qn_row(problem, repeats, algo_short):
+    """Config-5 sharded streaming QUASI-NEWTON on a 1-device mesh
+    executing the exact 2-device program (emulate_shards=2): the
+    on-chip shard-overhead evidence for FBE/NAMA that round 4 only
+    had for APG (VERDICT r4 task 5)."""
+    import jax
+
+    from rapidnet_tpu.parallel import make_mesh
+    from rapidnet_tpu.solver.qn_stream import make_qn_stream
+    cfg, eng, fa, make_step, tree = problem
+    names = {"fbe": "globalFbeAlgorithm", "nama": "namaAlgorithm"}
+    rng = np.random.default_rng(7)
+    step = make_step(_rand_x0(cfg, rng))
+    mesh = make_mesh(1)
+    run = make_qn_stream(fa, algorithm=names[algo_short],
+                         lbfgs_buffer_size=5, mesh=mesh,
+                         emulate_shards=2, **_solver_kw(cfg))
+    arg = jax.device_put(step)
+    jax.block_until_ready(arg)
+    jax.block_until_ready(run(arg))                # compile + warm
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(arg))
+        ts.append(time.perf_counter() - t0)
+    ms = float(np.median(ts) * 1e3)
+    rec = {"config": f"5_1024scenario_H24_shardmap_stream_"
+                     f"{algo_short}_1dev",
+           "nodes": int(tree.n_nodes), "scenarios": int(tree.ns),
+           "iters": MAX_ITER, "path": "pallas-stream-qn+shard_map",
+           "batch": 1,
+           "p50_ms": round(ms, 3), "solves_per_s": round(1e3 / ms, 3)}
+    print(json.dumps(rec))
+    return rec
+
+
 # ----------------------------------------------------------------------
 # virtual-mesh scaling + collective-bytes evidence (subprocess: the
 # host-platform device count must be fixed before the backend starts)
@@ -572,6 +608,16 @@ def main(argv=None):
     # artifact) and merged into LADDER.json by
     # tools/merge_qn_ladder.py; the fbe_stream/nama_stream backends in
     # _solver support ad-hoc runs.
+    # 5qs: sharded streaming QN on a 1-device mesh executing the exact
+    # 2-device program (VERDICT r4 task 5 on-chip evidence)
+    for short in ("fbe", "nama"):
+        name = f"5_1024scenario_H24_shardmap_stream_{short}_1dev"
+        if want(name):
+            try:
+                rows.append(sharded_stream_qn_row(
+                    get_prob5(), rep5, short))
+            except Exception as exc:  # noqa: BLE001
+                rows.append({"config": name, "error": str(exc)[:300]})
     # scenario-weak-scaling efficiency: per-scenario solve rate at
     # ns=1024 vs ns=25 (config 4) on the same chip
     if r4 is not None and r5 is not None:

@@ -100,6 +100,7 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
                    consts: dict | None = None,
                    lbfgs_dtype=jnp.float32,
                    stage_block: int | str = 1,
+                   emulate_shards: int | None = None,
                    ablate: frozenset = frozenset()):
     """Build the streaming FBE/NAMA solve: run(step, y0=None) -> outputs.
 
@@ -113,6 +114,12 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
     ``stage_block``: stages per sweep-kernel grid invocation
     (ops/pallas_stream_qn.py; must divide N — 'auto' picks the
     largest divisor ≤ 4; single-device path only).
+    ``emulate_shards``: mesh path only — classify the tree's prefix
+    stages as if split that many ways while packing for the real mesh
+    (ops/pallas_stream_sharded.pack_stream_sharded), so a 1-device
+    mesh executes the EXACT N-way sharded program (per-shard sweeps,
+    distinct-parent psum, XLA root tail) for on-chip overhead
+    measurement.
     ``lbfgs_dtype``: storage dtype of the L-BFGS s/y history slabs.
     float32 (default) matches the XLA path's numerics; bfloat16 halves
     the dominant buffer traffic at a small direction perturbation that
@@ -175,7 +182,8 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
             # (a CPU mesh under a TPU-default session must interpret)
             interpret = mesh.devices.flat[0].platform == "cpu"
         n_shards = int(np.prod(mesh.devices.shape))
-        consts = pack_stream_sharded(fa, n_shards)
+        consts = pack_stream_sharded(fa, n_shards,
+                                     emulate_shards=emulate_shards)
         N, ns, nx, nu, nv, NSLP, PX, PU, PV = consts["dims"]
         nsl = consts["nsl"]
         NG = n_shards * NSLP

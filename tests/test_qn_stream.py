@@ -283,3 +283,43 @@ def test_controller_mesh_stream_qn():
         np.testing.assert_allclose(b, a, rtol=5e-3, atol=5e-3)
         ref.move_forward_in_time()
         got.move_forward_in_time()
+
+
+def test_qn_stream_mesh_emulate_shards():
+    """A 1-device mesh with emulate_shards=4 executes the exact 4-way
+    sharded streaming QN program (per-shard sweeps, distinct-parent
+    psum, XLA root tail) and must match the plain streaming solve
+    within line-search branch noise (VERDICT r4 task 5)."""
+    import jax
+
+    from rapidnet_tpu.engine.engine import Engine
+    from rapidnet_tpu.model.config import synthetic_config
+    from rapidnet_tpu.model.forecaster import synthetic_forecaster
+    from rapidnet_tpu.model.network import synthetic_network
+    from rapidnet_tpu.model.scenario_tree import generate_tree
+    from rapidnet_tpu.parallel import make_mesh
+    from rapidnet_tpu.solver.controller import (_factor_arrays,
+                                                _step_arrays)
+    from rapidnet_tpu.solver.qn_stream import make_qn_stream
+
+    net = synthetic_network(nx=4, nu=7, nd=3, ne=2, seed=11)
+    tree = generate_tree(N=8, branching=[4, 2, 2], nd=3, nu=7, seed=11)
+    fc = synthetic_forecaster(N=8, nd=3, nu=7, sim_horizon=4, seed=11)
+    cfg = synthetic_config(net, tree, max_iterations=12, step_size=1e-3)
+    cfg.current_x = (0.98 * net.xmax).astype(np.float32)
+    eng = Engine(net, tree, cfg)
+    fc.predict_demand(0)
+    fc.predict_prices(0)
+    fa = _factor_arrays(eng)
+    step = _step_arrays(eng.prepare_step(
+        fc.nominal_demand, fc.nominal_prices, cfg.current_x,
+        cfg.prev_u, cfg.prev_demand))
+    kw = _kw(cfg, iters=12)
+    for algo in ("globalFbeAlgorithm", "namaAlgorithm"):
+        ref = make_qn_stream(fa, algorithm=algo,
+                             lbfgs_buffer_size=5, **kw)(step)
+        out = make_qn_stream(fa, algorithm=algo, lbfgs_buffer_size=5,
+                             mesh=make_mesh(1), emulate_shards=4,
+                             **kw)(step)
+        a, b = np.asarray(ref["control"]), np.asarray(out["control"])
+        assert np.abs(a - b).max() < 1e-3 * max(np.abs(a).max(), 1.0)
