@@ -706,7 +706,20 @@ def make_apg_stream_sharded(mesh, fa: dict, *, inv_step: float,
                    in_specs=(cd_specs, sp_specs, y_specs),
                    out_specs=out_specs, check_vma=False)
 
-    cd_dev = {k: jnp.asarray(v) for k, v in cd_host.items()}
+    # multi-process meshes need GLOBAL arrays at the jit boundary:
+    # every host holds the full value, so stage replicated and let the
+    # shard_map in_specs reshard (single-process staging unchanged)
+    pi0 = jax.process_index()
+    multiproc = any(d.process_index != pi0 for d in mesh.devices.flat)
+
+    def _g(x):
+        if not multiproc:
+            return jnp.asarray(x)
+        from jax.sharding import NamedSharding
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P()), np.asarray(x))
+
+    cd_dev = {k: _g(v) for k, v in cd_host.items()}
 
     def to_t(a, Pd):
         """(N, ns, d) host/dev -> (N, Pd, NG) with per-shard padding."""
@@ -751,15 +764,21 @@ def make_apg_stream_sharded(mesh, fa: dict, *, inv_step: float,
         }
 
     def run(step_in, y0=None):
+        if multiproc:
+            step_in = {k: _g(np.asarray(v, np.float32))
+                       for k, v in step_in.items()}
         if y0 is None:
-            y0t = {"y1": jnp.zeros((N, PX, NG), f32),
-                   "y2": jnp.zeros((N, PX, NG), f32),
-                   "yp": jnp.zeros((N, PU, NG), f32)}
+            y0t = {"y1": _g(np.zeros((N, PX, NG), np.float32)),
+                   "y2": _g(np.zeros((N, PX, NG), np.float32)),
+                   "yp": _g(np.zeros((N, PU, NG), np.float32))}
         else:
-            xi = jnp.asarray(y0["xi"], f32)
+            xi = _g(np.asarray(y0["xi"], np.float32)) if multiproc \
+                else jnp.asarray(y0["xi"], f32)
+            psi = _g(np.asarray(y0["psi"], np.float32)) if multiproc \
+                else jnp.asarray(y0["psi"], f32)
             y0t = {"y1": to_t(xi[..., :nx], PX),
                    "y2": to_t(xi[..., nx:], PX),
-                   "yp": to_t(jnp.asarray(y0["psi"], f32), PU)}
+                   "yp": to_t(psi, PU)}
         return run_impl(cd_dev, step_in, y0t)
 
     return run

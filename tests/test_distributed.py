@@ -155,3 +155,49 @@ def test_two_process_2d_batch_scen_mesh(tmp_path):
     np.testing.assert_allclose(got["controls"],
                                np.asarray(ref["control"]),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_two_process_per_shard_stream_solve(tmp_path):
+    """The per-shard streaming Pallas path (interpret mode) across 2
+    real processes: distinct-parent psum + XLA root tail under
+    multi-controller staging, control parity vs the single-process
+    plain streaming solve (VERDICT r4 task 6)."""
+    out_path = str(tmp_path / "dist_stream.npz")
+    port = _free_port()
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(pid), "2", str(port), out_path,
+             "stream"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True)
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=540) for p in procs]
+    codes = [p.returncode for p in procs]
+    if any(c == 3 for c in codes):
+        pytest.skip("jax.distributed gloo CPU collectives unavailable: "
+                    + outs[0][1][-500:])
+    for (stdout, stderr), code in zip(outs, codes):
+        assert code == 0, f"worker failed (rc={code}):\n{stderr[-2000:]}"
+
+    # single-process reference: the plain single-device streaming solve
+    import jax  # noqa: F401
+
+    from rapidnet_tpu.ops.pallas_stream import make_apg_stream
+    from tests._dist_worker import build_problem
+
+    fa, step, kw = build_problem()
+    kw = {k: v for k, v in kw.items() if k != "prefix_stages"}
+    ref = make_apg_stream(fa, **kw)(step)
+
+    got = np.load(out_path)
+    np.testing.assert_allclose(got["control"],
+                               np.asarray(ref["control"]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        got["infeas"], np.asarray(ref["primal_infeasibility"]),
+        rtol=1e-3, atol=1e-3)
