@@ -164,3 +164,62 @@ def test_compile_stream_sharded_emulated_on_chip():
     _close(jax.tree.map(np.asarray, ref),
            jax.tree.map(np.asarray, out), keys=("control", "u", "x"),
            tol=1e-4)
+
+
+def test_compile_stream_qn_r5_variants():
+    """Round-5 streaming-QN machinery on the real chip: Pallas L-BFGS
+    buffer passes (in the production path already), stage-blocked
+    sweeps, bf16 history storage, NAMA."""
+    import jax.numpy as jnp
+
+    from rapidnet_tpu.solver.qn_stream import make_qn_stream
+
+    cfg, eng, fa, step = _problem()
+    kw = _kw(cfg)
+    ref = make_qn_stream(fa, algorithm="namaAlgorithm",
+                         lbfgs_buffer_size=5, **kw)(step)
+    blk = make_qn_stream(fa, algorithm="namaAlgorithm",
+                         lbfgs_buffer_size=5, stage_block=4,
+                         **kw)(step)
+    # identical in-kernel math — stage blocking is bit-exact
+    np.testing.assert_array_equal(np.asarray(ref["control"]),
+                                  np.asarray(blk["control"]))
+    b16 = make_qn_stream(fa, algorithm="namaAlgorithm",
+                         lbfgs_buffer_size=5,
+                         lbfgs_dtype=jnp.bfloat16, **kw)(step)
+    a, b = np.asarray(ref["control"]), np.asarray(b16["control"])
+    assert np.abs(a - b).max() < 0.1 * max(np.abs(a).max(), 1.0)
+
+
+def test_compile_stream_qn_sharded_emulated_on_chip():
+    """The sharded streaming QN program (per-shard sweeps + psum +
+    root tail + Pallas L-BFGS passes inside shard_map) compiles and
+    matches the plain streaming QN on one real chip via
+    emulate_shards=2 (VERDICT r4 task 5)."""
+    from rapidnet_tpu.parallel import make_mesh
+    from rapidnet_tpu.solver.qn_stream import make_qn_stream
+
+    cfg, eng, fa, step = _problem()
+    kw = _kw(cfg)
+    ref = make_qn_stream(fa, algorithm="globalFbeAlgorithm",
+                         lbfgs_buffer_size=5, **kw)(step)
+    out = make_qn_stream(fa, algorithm="globalFbeAlgorithm",
+                         lbfgs_buffer_size=5, mesh=make_mesh(1),
+                         emulate_shards=2, **kw)(step)
+    a, b = np.asarray(ref["control"]), np.asarray(out["control"])
+    assert np.abs(a - b).max() < 1e-3 * max(np.abs(a).max(), 1.0)
+
+
+def test_compile_whole_solve_tolerance_early_exit():
+    """The in-kernel while_loop early exit (round-5 task 4) compiles
+    under Mosaic and stops before the budget on the real chip."""
+    from rapidnet_tpu.ops import pallas_apg, pallas_qn
+
+    cfg, eng, fa, step = _problem()
+    kw = _kw(cfg)
+    out = pallas_apg.make_apg_pallas(fa, tolerance=1e6, **kw)(step)
+    assert int(out["iterations"]) < ITERS
+    outq = pallas_qn.make_qn_pallas(
+        fa, algorithm="globalFbeAlgorithm", lbfgs_buffer_size=5,
+        tolerance=1e6, **kw)(step)
+    assert int(outq["iterations"]) < ITERS
