@@ -39,16 +39,13 @@ def make_lbfgs_kernels(*, N: int, n_cols: int, PX: int, PU: int,
     Buffer layout per key: (n_cols, N, P, lanes), dtype ``nb``
     (float32 or bfloat16 storage).  Slabs: (N, P, lanes) f32.
 
-    dot_sweep(rep, mat_s, mat_y, y, y_prev, g, g_prev) ->
+    dot_sweep(rep, mat_s, mat_y, s, yv, g) ->
         (dS, dY, selfdots) with dS[m] = (<s_m, s>, <s_m, yv>,
         <s_m, g>) etc. and selfdots = (<s,s>, <s,yv>, <yv,yv>,
-        <g,g>, <s,g>, <yv,g>), where s = y - y_prev and
-        yv = g - g_prev are formed IN-KERNEL (rounded through the
-        storage dtype so the dots describe exactly what the buffer
-        will hold) — ONE pass over both buffers plus the four raw
-        iterates, no difference-slab materialisation.  All slab
-        arguments are dicts over the dual-triple keys; ``rep`` is the
-        (N, 1, lanes) node-count weight.
+        <g,g>, <s,g>, <yv,g>) — ONE pass over both buffers.
+        ``mat_s``/``mat_y``/``s``/``yv``/``g`` are dicts over the
+        dual-triple keys; ``rep`` is the (N, 1, lanes) node-count
+        weight.
 
     combine(coef, mat_s, mat_y, g) -> direction dict,
         direction = sum_m cs[m] s_m + sum_m cy[m] y_m + cg * g —
@@ -73,8 +70,7 @@ def make_lbfgs_kernels(*, N: int, n_cols: int, PX: int, PU: int,
 
     # ---------------- pass 1: dot sweep ----------------
     def dots_kernel(rep, ms1, ms2, msp, my1, my2, myp,
-                    y1, y2, yp_, p1, p2, pp_,
-                    g1, g2, gp, q1, q2, qp_,
+                    s1, s2, sp_, yv1, yv2, yvp, g1, g2, gp,
                     o_dS, o_dY, o_self, accS, accY, accF):
         i = pl.program_id(0)
 
@@ -89,15 +85,13 @@ def make_lbfgs_kernels(*, N: int, n_cols: int, PX: int, PU: int,
                 accF[t] = f32(0.0)
 
         rv = rep[0]                               # (1, lanes)
-        for (ms, my, y_, yp2, g_, gp2) in (
-                (ms1, my1, y1, p1, g1, q1),
-                (ms2, my2, y2, p2, g2, q2),
-                (msp, myp, yp_, pp_, gp, qp_)):
-            # differences formed in-kernel, rounded through the
-            # storage dtype (identity for f32)
-            sf = (y_[0] - yp2[0]).astype(nb).astype(f32)
-            yf = (g_[0] - gp2[0]).astype(nb).astype(f32)
-            gf = g_[0]
+        for (ms, my, s_, yv_, g_) in (
+                (ms1, my1, s1, yv1, g1),
+                (ms2, my2, s2, yv2, g2),
+                (msp, myp, sp_, yvp, gp)):
+            sf = s_[0].astype(f32)
+            yf = yv_[0].astype(f32)
+            gf = g_[0].astype(f32)
             ts = rv * sf
             ty = rv * yf
             tg = rv * gf
@@ -133,7 +127,6 @@ def make_lbfgs_kernels(*, N: int, n_cols: int, PX: int, PU: int,
                   bufb(PX), bufb(PX), bufb(PU),
                   slabb(PX), slabb(PX), slabb(PU),
                   slabb(PX), slabb(PX), slabb(PU),
-                  slabb(PX), slabb(PX), slabb(PU),
                   slabb(PX), slabb(PX), slabb(PU)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),) * 3,
         out_shape=(jax.ShapeDtypeStruct((M, 3), f32),
@@ -144,14 +137,13 @@ def make_lbfgs_kernels(*, N: int, n_cols: int, PX: int, PU: int,
                         pltpu.SMEM((8,), f32)],
         interpret=interpret, compiler_params=params)
 
-    def dot_sweep(rep, mat_s, mat_y, y, y_prev, g, g_prev):
+    def dot_sweep(rep, mat_s, mat_y, s, yv, g):
         dS, dY, selfd = dots_call(
             rep, mat_s["y1"], mat_s["y2"], mat_s["yp"],
             mat_y["y1"], mat_y["y2"], mat_y["yp"],
-            y["y1"], y["y2"], y["yp"],
-            y_prev["y1"], y_prev["y2"], y_prev["yp"],
-            g["y1"], g["y2"], g["yp"],
-            g_prev["y1"], g_prev["y2"], g_prev["yp"])
+            s["y1"], s["y2"], s["yp"],
+            yv["y1"], yv["y2"], yv["yp"],
+            g["y1"], g["y2"], g["yp"])
         return dS, dY, selfd
 
     # ---------------- pass 2: weighted combination ----------------

@@ -346,15 +346,12 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
         carries; the whole-solve kernel uses the same scheme)."""
         rep = cd["rep"]
         # differences, rounded to the storage dtype FIRST so the Gram
-        # entries describe exactly what the buffer holds; the dots
-        # kernel forms them in-kernel from the raw iterates (no
-        # difference-slab materialisation) and the buffer write below
-        # fuses the same expression into its column store
+        # entries describe exactly what the buffer holds
         s = {k: (y[k] - y_prev[k]).astype(nb) for k in KEYS}
         yv = {k: (yvec[k] - yvec_prev[k]).astype(nb) for k in KEYS}
 
         dS, dY, selfd = lbfgs_dots(rep, lb["mat_s"], lb["mat_y"],
-                                   y, y_prev, yvec, yvec_prev)
+                                   s, yv, yvec)
         dS = _psum(dS)
         dY = _psum(dY)
         selfd = _psum(selfd)
