@@ -90,7 +90,8 @@ class SmpcController:
                  tolerance: Optional[float] = None,
                  backend: str = "auto",
                  mesh=None,
-                 stream_precision: str = "highest"):
+                 stream_precision: str = "highest",
+                 stream_lbfgs_dtype: str = "float32"):
         """backend: 'auto' | 'xla' | 'pallas'.  'auto' picks the fused
         whole-solve Pallas kernel (ops/pallas_apg.py for APG,
         ops/pallas_qn.py for FBE/NAMA) on a TPU whose padded working
@@ -109,6 +110,13 @@ class SmpcController:
         1024-scenario config with a 1.5e-3 relative control deviation
         after 500 iterations; docs/roofline.md).  Mosaic supports no
         middle tier ('high' raises at compile).
+
+        stream_lbfgs_dtype: storage dtype of the streaming FBE/NAMA
+        L-BFGS history ('float32' default; 'bfloat16' measured ~16%
+        faster at the 1024-scenario config with a few-1e-3 relative
+        control deviation after 500 iterations — the history stores
+        differences, the same bounded-relative-error argument as the
+        bf16-z momentum knob).
         """
         if isinstance(config, str):
             config = SmpcConfig.from_json(config)
@@ -120,6 +128,11 @@ class SmpcController:
                 f"(Mosaic lowers no other dot precision), got "
                 f"'{stream_precision}'")
         self.stream_precision = stream_precision
+        if stream_lbfgs_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"stream_lbfgs_dtype must be 'float32' or 'bfloat16', "
+                f"got '{stream_lbfgs_dtype}'")
+        self.stream_lbfgs_dtype = stream_lbfgs_dtype
         if mesh is not None:
             if backend == "pallas":
                 raise ValueError(
@@ -187,6 +200,7 @@ class SmpcController:
                         self._fa, algorithm=cfg.algorithm,
                         lbfgs_buffer_size=int(cfg.lbfgs_buffer_size),
                         precision=self.stream_precision,
+                        lbfgs_dtype=jnp.dtype(self.stream_lbfgs_dtype),
                         consts=self._stream_consts, **p_kw)
             elif cfg.algorithm == ALGORITHM_APG:
                 from rapidnet_tpu.ops import pallas_apg
@@ -263,7 +277,9 @@ class SmpcController:
                         fa, algorithm=cfg.algorithm,
                         lbfgs_buffer_size=int(cfg.lbfgs_buffer_size),
                         mesh=self.mesh,
-                        precision=self.stream_precision, **kw)
+                        precision=self.stream_precision,
+                        lbfgs_dtype=jnp.dtype(self.stream_lbfgs_dtype),
+                        **kw)
 
             want = self.backend == "stream"
             if self.backend == "auto":
