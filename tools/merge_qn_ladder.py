@@ -13,7 +13,8 @@ import argparse
 import json
 import os
 
-PATHS = {"xla": "xla", "stream": "pallas-stream-qn"}
+PATHS = {"xla": "xla", "stream": "pallas-stream-qn",
+         "stream_bf16": "pallas-stream-qn-bf16"}
 
 
 def main():
