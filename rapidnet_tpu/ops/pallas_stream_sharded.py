@@ -768,9 +768,18 @@ def make_apg_stream_sharded(mesh, fa: dict, *, inv_step: float,
             step_in = {k: _g(np.asarray(v, np.float32))
                        for k, v in step_in.items()}
         if y0 is None:
-            y0t = {"y1": _g(np.zeros((N, PX, NG), np.float32)),
-                   "y2": _g(np.zeros((N, PX, NG), np.float32)),
-                   "yp": _g(np.zeros((N, PU, NG), np.float32))}
+            # jnp.zeros on the single-process path: host-side zeros
+            # would ship ~25 MB over a remote-device transport per
+            # solve (measured 2.8x solve-time regression on the axon
+            # tunnel)
+            if multiproc:
+                y0t = {"y1": _g(np.zeros((N, PX, NG), np.float32)),
+                       "y2": _g(np.zeros((N, PX, NG), np.float32)),
+                       "yp": _g(np.zeros((N, PU, NG), np.float32))}
+            else:
+                y0t = {"y1": jnp.zeros((N, PX, NG), f32),
+                       "y2": jnp.zeros((N, PX, NG), f32),
+                       "yp": jnp.zeros((N, PU, NG), f32)}
         else:
             xi = _g(np.asarray(y0["xi"], np.float32)) if multiproc \
                 else jnp.asarray(y0["xi"], f32)
