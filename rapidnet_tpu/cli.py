@@ -38,9 +38,24 @@ def main(argv=None):
                    help="force a jax platform (overrides any "
                         "environment/site pinning)")
     p.add_argument("--backend", default="auto",
-                   choices=["auto", "xla", "pallas"],
+                   choices=["auto", "xla", "pallas", "stream"],
                    help="solver backend: fused whole-solve Pallas "
-                        "kernel or the general XLA path (auto picks)")
+                        "kernel, streaming kernels (>VMEM trees) or "
+                        "the general XLA path (auto picks)")
+    p.add_argument("--tolerance", type=float, default=None,
+                   help="terminate each solve when the residual "
+                        "magnitude drops below this (in-kernel early "
+                        "exit on the Pallas paths; default: fixed "
+                        "budget like the reference)")
+    p.add_argument("--stream-precision", default="highest",
+                   choices=["highest", "default"],
+                   help="streaming-kernel MXU dot precision "
+                        "(docs/performance.md)")
+    p.add_argument("--stream-lbfgs-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="streaming FBE/NAMA L-BFGS history storage "
+                        "(bfloat16: measured ~16%% faster at 1024 "
+                        "scenarios, few-1e-3 control deviation)")
     p.add_argument("--devices", type=int, default=0,
                    help="shard the scenario axis over this many devices "
                         "(0 = single-device); with jax.distributed "
@@ -57,7 +72,10 @@ def main(argv=None):
     if args.devices:
         from rapidnet_tpu.parallel import make_mesh
         mesh = make_mesh(args.devices)
-    ctrl = SmpcController(args.config, backend=args.backend, mesh=mesh)
+    ctrl = SmpcController(args.config, backend=args.backend, mesh=mesh,
+                          tolerance=args.tolerance,
+                          stream_precision=args.stream_precision,
+                          stream_lbfgs_dtype=args.stream_lbfgs_dtype)
     if args.no_price_uncertainty:
         ctrl.engine.price_uncertainty = False
     if args.no_demand_uncertainty:
