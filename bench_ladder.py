@@ -586,6 +586,21 @@ def main(argv=None):
         except Exception as exc:  # noqa: BLE001
             rows.append({"config": "5h_512scenario_H24_stream_halfwidth",
                          "error": str(exc)[:300]})
+    # 5hq: the same half-width bound for the streaming quasi-Newton
+    # path — with the ~0% emulated shard overhead rows this bounds a
+    # 2-device config-5 FBE solve (the APG 5h argument, r5)
+    if want("5h_512scenario_H24_fbe_stream_halfwidth"):
+        try:
+            half = dict(CONFIG5)
+            half["branching"] = [8, 8, 4, 2]
+            rows.append(run_config(
+                "5h_512scenario_H24_fbe_stream_halfwidth",
+                half["dims"], half["N"], half["branching"], rep5,
+                backend="fbe_stream")[0])
+        except Exception as exc:  # noqa: BLE001
+            rows.append(
+                {"config": "5h_512scenario_H24_fbe_stream_halfwidth",
+                 "error": str(exc)[:300]})
     # 5c: same solve through shard_map on a 1-device mesh
     # (quantifies shard_map overhead on the real chip)
     if want("5_1024scenario_H24_shardmap_1dev"):
