@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--bf16", action="store_true",
                     help="also measure the lbfgs_dtype=bfloat16 "
                          "buffer variant (round-5 speed knob)")
+    ap.add_argument("--fast", action="store_true",
+                    help="also measure the combined serving-speed "
+                         "config: bf16 history + DEFAULT dot "
+                         "precision")
     args = ap.parse_args()
 
     import jax
@@ -61,6 +65,11 @@ def main():
             variants["stream_bf16"] = make_qn_stream(
                 fa, algorithm=algo, lbfgs_buffer_size=5,
                 lbfgs_dtype=jnp.bfloat16, **kw)
+        if args.fast:
+            import jax.numpy as jnp
+            variants["stream_fast"] = make_qn_stream(
+                fa, algorithm=algo, lbfgs_buffer_size=5,
+                lbfgs_dtype=jnp.bfloat16, precision="default", **kw)
         ref_u = None
         for vname, run in variants.items():
             arg = jax.device_put(step)
