@@ -14,7 +14,8 @@ import json
 import os
 
 PATHS = {"xla": "xla", "stream": "pallas-stream-qn",
-         "stream_bf16": "pallas-stream-qn-bf16"}
+         "stream_bf16": "pallas-stream-qn-bf16",
+         "stream_fast": "pallas-stream-qn-fast"}
 
 
 def main():
