@@ -95,7 +95,8 @@ def make_pallas_qn_solve(consts: dict, *, algorithm, inv_step, step_size,
                          penalty_state, penalty_safety, xs_upper,
                          max_iterations, lbfgs_buffer_size,
                          interpret: bool = False,
-                         tolerance: float | None = None):
+                         tolerance: float | None = None,
+                         lbfgs_dtype=None):
     """Build the fused whole-solve FBE/NAMA kernel.
 
     Returns solve(const_arrays, step_padded, y0_tuple) ->
@@ -124,6 +125,7 @@ def make_pallas_qn_solve(consts: dict, *, algorithm, inv_step, step_size,
     psafety = float(penalty_safety)
     xs_upper = float(xs_upper)
     f32 = jnp.float32
+    nb = lbfgs_dtype or jnp.float32   # L-BFGS history storage dtype
 
     def row(s):
         return pl.ds(s * NSP, NSP)
@@ -284,12 +286,12 @@ def make_pallas_qn_solve(consts: dict, *, algorithm, inv_step, step_size,
         # column 0 of the curvature buffers stays zero (the reference's
         # zero-initialised memory quirk, solver/quasi_newton.py doc);
         # scratch is uninitialised, so zero it explicitly
-        ms1[pl.ds(0, NR)] = jnp.zeros((NR, PX), f32)
-        ms2[pl.ds(0, NR)] = jnp.zeros((NR, PX), f32)
-        msp[pl.ds(0, NR)] = jnp.zeros((NR, PU), f32)
-        my1[pl.ds(0, NR)] = jnp.zeros((NR, PX), f32)
-        my2[pl.ds(0, NR)] = jnp.zeros((NR, PX), f32)
-        myp[pl.ds(0, NR)] = jnp.zeros((NR, PU), f32)
+        ms1[pl.ds(0, NR)] = jnp.zeros((NR, PX), nb)
+        ms2[pl.ds(0, NR)] = jnp.zeros((NR, PX), nb)
+        msp[pl.ds(0, NR)] = jnp.zeros((NR, PU), nb)
+        my1[pl.ds(0, NR)] = jnp.zeros((NR, PX), nb)
+        my2[pl.ds(0, NR)] = jnp.zeros((NR, PX), nb)
+        myp[pl.ds(0, NR)] = jnp.zeros((NR, PU), nb)
         for i in range(n_cols):
             rho_r[i] = f32(0.0)
             alpha_r[i] = f32(0.0)
@@ -330,12 +332,12 @@ def make_pallas_qn_solve(consts: dict, *, algorithm, inv_step, step_size,
 
             # ---- L-BFGS buffer update (updateLbfgsBuffer,
             # src/SmpcController.cu:1103-1177) ----
-            s1 = o_yx1[...] - ypx1[...]
-            s2 = o_yx2[...] - ypx2[...]
-            sp = o_yps[...] - ypps[...]
-            yd1 = yv1[...] - yvp1[...]
-            yd2 = yv2[...] - yvp2[...]
-            ydp = yvq[...] - yvpp[...]
+            s1 = (o_yx1[...] - ypx1[...]).astype(nb).astype(f32)
+            s2 = (o_yx2[...] - ypx2[...]).astype(nb).astype(f32)
+            sp = (o_yps[...] - ypps[...]).astype(nb).astype(f32)
+            yd1 = (yv1[...] - yvp1[...]).astype(nb).astype(f32)
+            yd2 = (yv2[...] - yvp2[...]).astype(nb).astype(f32)
+            ydp = (yvq[...] - yvpp[...]).astype(nb).astype(f32)
             norm_grad = jnp.sqrt(dot3(yv1[...], yv2[...], yvq[...],
                                       yv1[...], yv2[...], yvq[...]))
             inv_rho = dot3(s1, s2, sp, yd1, yd2, ydp)
@@ -349,12 +351,12 @@ def make_pallas_qn_solve(consts: dict, *, algorithm, inv_step, step_size,
 
             @pl.when(accept)
             def _():
-                ms1[pl.ds(col_new * NR, NR)] = s1
-                ms2[pl.ds(col_new * NR, NR)] = s2
-                msp[pl.ds(col_new * NR, NR)] = sp
-                my1[pl.ds(col_new * NR, NR)] = yd1
-                my2[pl.ds(col_new * NR, NR)] = yd2
-                myp[pl.ds(col_new * NR, NR)] = ydp
+                ms1[pl.ds(col_new * NR, NR)] = s1.astype(nb)
+                ms2[pl.ds(col_new * NR, NR)] = s2.astype(nb)
+                msp[pl.ds(col_new * NR, NR)] = sp.astype(nb)
+                my1[pl.ds(col_new * NR, NR)] = yd1.astype(nb)
+                my2[pl.ds(col_new * NR, NR)] = yd2.astype(nb)
+                myp[pl.ds(col_new * NR, NR)] = ydp.astype(nb)
                 rho_r[col_new] = 1.0 / inv_rho
 
             col = jnp.where(accept, col_new, col)
@@ -378,12 +380,12 @@ def make_pallas_qn_solve(consts: dict, *, algorithm, inv_step, step_size,
                 icol = col - i
                 icol = jnp.where(icol < 0, mem + icol, icol)
                 icol = jnp.where(active, icol, 0)
-                sk1 = ms1[pl.ds(icol * NR, NR)]
-                sk2 = ms2[pl.ds(icol * NR, NR)]
-                skp = msp[pl.ds(icol * NR, NR)]
-                yk1 = my1[pl.ds(icol * NR, NR)]
-                yk2 = my2[pl.ds(icol * NR, NR)]
-                ykp = myp[pl.ds(icol * NR, NR)]
+                sk1 = ms1[pl.ds(icol * NR, NR)].astype(f32)
+                sk2 = ms2[pl.ds(icol * NR, NR)].astype(f32)
+                skp = msp[pl.ds(icol * NR, NR)].astype(f32)
+                yk1 = my1[pl.ds(icol * NR, NR)].astype(f32)
+                yk2 = my2[pl.ds(icol * NR, NR)].astype(f32)
+                ykp = myp[pl.ds(icol * NR, NR)].astype(f32)
                 a = rho_r[icol] * dot3(sk1, sk2, skp,
                                        dd1[...], dd2[...], ddp[...])
                 a = jnp.where(active, a, 0.0)
@@ -403,12 +405,12 @@ def make_pallas_qn_solve(consts: dict, *, algorithm, inv_step, step_size,
                 icol = col - (mem - j) + 1
                 icol = jnp.where(icol < 0, mem + icol, icol)
                 icol = jnp.where(active, icol, 0)
-                sk1 = ms1[pl.ds(icol * NR, NR)]
-                sk2 = ms2[pl.ds(icol * NR, NR)]
-                skp = msp[pl.ds(icol * NR, NR)]
-                yk1 = my1[pl.ds(icol * NR, NR)]
-                yk2 = my2[pl.ds(icol * NR, NR)]
-                ykp = myp[pl.ds(icol * NR, NR)]
+                sk1 = ms1[pl.ds(icol * NR, NR)].astype(f32)
+                sk2 = ms2[pl.ds(icol * NR, NR)].astype(f32)
+                skp = msp[pl.ds(icol * NR, NR)].astype(f32)
+                yk1 = my1[pl.ds(icol * NR, NR)].astype(f32)
+                yk2 = my2[pl.ds(icol * NR, NR)].astype(f32)
+                ykp = myp[pl.ds(icol * NR, NR)].astype(f32)
                 b = rho_r[icol] * dot3(yk1, yk2, ykp,
                                        dd1[...], dd2[...], ddp[...])
                 scale = jnp.where(active, alpha_r[icol] - b, 0.0)
@@ -584,12 +586,12 @@ def make_pallas_qn_solve(consts: dict, *, algorithm, inv_step, step_size,
         pltpu.VMEM((NR, PV), f32),   # v_s
         pltpu.VMEM((NR, PU), f32),   # du_s
         pltpu.VMEM((NR, PX), f32),   # xa_s
-        pltpu.VMEM((n_cols * NR, PX), f32),   # mat_s xi1
-        pltpu.VMEM((n_cols * NR, PX), f32),   # mat_s xi2
-        pltpu.VMEM((n_cols * NR, PU), f32),   # mat_s psi
-        pltpu.VMEM((n_cols * NR, PX), f32),   # mat_y xi1
-        pltpu.VMEM((n_cols * NR, PX), f32),   # mat_y xi2
-        pltpu.VMEM((n_cols * NR, PU), f32),   # mat_y psi
+        pltpu.VMEM((n_cols * NR, PX), nb),   # mat_s xi1
+        pltpu.VMEM((n_cols * NR, PX), nb),   # mat_s xi2
+        pltpu.VMEM((n_cols * NR, PU), nb),   # mat_s psi
+        pltpu.VMEM((n_cols * NR, PX), nb),   # mat_y xi1
+        pltpu.VMEM((n_cols * NR, PX), nb),   # mat_y xi2
+        pltpu.VMEM((n_cols * NR, PU), nb),   # mat_y psi
         pltpu.SMEM((n_cols,), f32),           # rho
         pltpu.SMEM((n_cols,), f32),           # alphas
         pltpu.SMEM((1,), f32),                # line-search trial value
@@ -618,7 +620,8 @@ def make_qn_pallas(fa: dict, *, algorithm, inv_step, step_size,
                    max_iterations, lbfgs_buffer_size,
                    project_control: bool = True,
                    interpret: bool | str = "auto",
-                   tolerance: float | None = None):
+                   tolerance: float | None = None,
+                   lbfgs_dtype=None):
     """Full FBE/NAMA solve on the fused whole-solve kernel.
 
     Same contract as ``pallas_apg.make_apg_pallas``: returns
@@ -638,7 +641,7 @@ def make_qn_pallas(fa: dict, *, algorithm, inv_step, step_size,
         penalty_safety=penalty_safety, xs_upper=xs_upper,
         max_iterations=max_iterations,
         lbfgs_buffer_size=lbfgs_buffer_size, interpret=interpret,
-        tolerance=tolerance)
+        tolerance=tolerance, lbfgs_dtype=lbfgs_dtype)
     # physical root-control bounds (solve_step.root_control_bounds)
     if "umin_phys" in fa:
         umin00 = jnp.asarray(np.asarray(fa["umin_phys"]))
