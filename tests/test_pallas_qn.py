@@ -340,3 +340,26 @@ def test_pallas_qn_tolerance_early_exit_matches_xla(algorithm):
     for key in ("primal_infeasibility", "value_fbe", "tau"):
         t = np.asarray(out[key])
         assert (t[it_out:] == 0).all(), key
+
+
+@pytest.mark.parametrize("algorithm", [ALGORITHM_FBE, ALGORITHM_NAMA])
+def test_pallas_qn_bf16_history_knob(algorithm):
+    """lbfgs_dtype=bfloat16 on the whole-solve kernel: the history
+    stores differences (bounded relative error), so the solve must
+    stay within the line-search branch-noise regime of the f32
+    kernel."""
+    import jax.numpy as jnp
+
+    eng, fa, step, kw = _problem(max_iterations=15)
+    ref = pallas_qn.make_qn_pallas(fa, algorithm=algorithm,
+                                   interpret=True, **kw)(step)
+    out = pallas_qn.make_qn_pallas(fa, algorithm=algorithm,
+                                   interpret=True,
+                                   lbfgs_dtype=jnp.bfloat16,
+                                   **kw)(step)
+    a, b = np.asarray(ref["control"]), np.asarray(out["control"])
+    assert np.abs(a - b).max() < 0.1 * max(np.abs(a).max(), 1.0)
+    # identical first iteration (no history used yet)
+    np.testing.assert_allclose(
+        np.asarray(out["primal_infeasibility"])[0],
+        np.asarray(ref["primal_infeasibility"])[0], rtol=1e-6)
