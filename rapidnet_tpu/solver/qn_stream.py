@@ -133,7 +133,8 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
     'no_ls' (single tau=1 application instead of the trial loop).
     """
     ablate = frozenset(ablate)
-    bad = ablate - {"sweeps_only", "no_qn", "no_lbfgs", "no_ls"}
+    bad = ablate - {"sweeps_only", "no_qn", "no_lbfgs", "no_ls",
+                    "frozen_lbfgs_carry"}
     if bad:
         raise ValueError(f"unknown ablate flags {sorted(bad)}")
     is_fbe = algorithm == ALGORITHM_FBE
@@ -755,6 +756,11 @@ def make_qn_stream(fa: dict, *, algorithm: str, inv_step: float,
                 cd, bd, sp, base, lbfgs_dir, res, value, dval, qn_on)
         value = jnp.where(qn_on, value, jnp.float32(0.0))
 
+        if "frozen_lbfgs_carry" in ablate:
+            # timing-only: thread the UNCHANGED buffer through the
+            # scan carry (kernel passes + column DUS still execute for
+            # kernel B) — full minus this = the carry-update cost
+            lb_new = carry["lbfgs"]
         new_carry = {
             "y": y_new, "y_prev": carry["y"], "yvec_prev": yvec,
             "w": y_new, "lbfgs": lb_new,
